@@ -85,6 +85,8 @@ def canonical_key(packed, k: int) -> np.ndarray:
 
 def encode_codes(codes: np.ndarray, k: int) -> np.ndarray:
     """Pack a (..., k) uint8 code array into packed uint64 k-mers."""
+    if not 1 <= k <= MAX_K:
+        raise ValueError(f"k must be in [1, {MAX_K}], got {k}")
     codes = np.asarray(codes, dtype=np.uint64)
     shifts = (np.uint64(2) * np.arange(k, dtype=np.uint64))
     return (codes << shifts).sum(axis=-1, dtype=np.uint64)
