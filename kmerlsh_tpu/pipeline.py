@@ -1,0 +1,220 @@
+"""Pipeline orchestration: modes K (count) → B (bin) → C (cluster) → E (extract).
+
+Port of ``kmerCluster`` + ``init_clustering`` (app/kmerLSH.cc:278-603) with
+the same stage boundaries and on-disk artifacts, so any stage can restart
+from files alone (the reference's checkpoint story, SURVEY §5.4):
+
+  K: per-sample KMC database            (external kmc or native counter)
+  B: kmer_set.hex + kmer_count.bin + kmer_count.log
+  C: tmp/N.bin{,.clust} batch rounds → <clust_file>{,.clust}
+  E: <output1>_<basename>, <output2>_<basename> extracted FASTQ
+
+Documented divergences from the reference:
+  * global k-mer row order is sorted-canonical-key (deterministic), not
+    cuckoo iteration order;
+  * cluster output is ordered by smallest member id, ids ascending within a
+    line (the reference's order is thread-interleave nondeterministic);
+  * ``tmp_dir`` is created if missing (the reference crashes, kmerLSH.cc:326);
+  * hyperplanes are seeded (reference: std::random_device).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from kmerlsh_tpu.config import HyperParams
+from kmerlsh_tpu.io import clusterio, counts as countsio, fastq as fastqio, kmc as kmcio
+from kmerlsh_tpu.io.samples import get_input
+from kmerlsh_tpu.ops import reads as readops, transform, ttest
+from kmerlsh_tpu.utils.timing import Stages
+
+
+def _cluster_fn(params: HyperParams):
+    if params.engine == "greedy":
+        from kmerlsh_tpu.cluster import greedy
+
+        def run(values, sizes, iterations, min_similarity, seed):
+            return greedy.cluster(
+                values, sizes=sizes, min_similarity=min_similarity,
+                iterations=iterations,
+                bucket_size_threshold=params.bucket_size_threshold,
+                seed=seed, verbose=params.verbose)
+    else:
+        from kmerlsh_tpu.cluster import engine
+
+        def run(values, sizes, iterations, min_similarity, seed):
+            return engine.cluster(
+                values, sizes=sizes, min_similarity=min_similarity,
+                iterations=iterations, seed=seed, rounds=params.merge_rounds,
+                verbose=params.verbose)
+
+    return run
+
+
+def init_clustering(
+    params: HyperParams, kmap_size: int, v_kmers: list[float], stages: Stages,
+) -> tuple[np.ndarray, list[np.ndarray]]:
+    """Out-of-core batched pre-clustering (app/kmerLSH.cc:278-430):
+    transform+cluster each 'batch_thresh'-row slice once at threshold 0.95,
+    then re-merge tmp files in rounds (similarity − 0.001 per round, 5
+    iterations) until ≤ one batch remains."""
+    cluster = _cluster_fn(params)
+    os.makedirs(params.tmp_dir, exist_ok=True)
+    bin_path = os.path.join(params.work_dir, countsio.BIN_NAME)
+    S = len(v_kmers)
+    v = np.asarray(v_kmers, np.float32)
+
+    similarity = params.min_similarity
+    batch = params.batch_thresh
+    tmp_no = 0
+    write_path = os.path.join(params.tmp_dir, f"{tmp_no}.bin")
+    total = 0
+    seed = params.seed
+
+    offset = 0
+    first = True
+    while offset < kmap_size:
+        bs = min(batch, kmap_size - offset)
+        with stages.stage("read_batch"):
+            cmat = countsio.read_count_batch(bin_path, S, kmap_size, offset, bs)
+        with stages.stage("transform"):
+            values, keep = transform.abundance_transform(cmat, v)
+            values, keep = np.asarray(values), np.asarray(keep)
+        ids = (offset + np.nonzero(keep)[0]).astype(np.uint64)
+        values = values[keep]
+        if params.verbose:
+            print(f"batch @{offset}: {bs} rows, {len(values)} kept")
+        with stages.stage("cluster_batch"):
+            cents, _, groups = cluster(values, None, 1, similarity, seed)
+        seed += 1
+        ids_list = [np.sort(ids[g]) for g in groups]
+        with stages.stage("save_tmp"):
+            clusterio.save_result(ids_list, write_path + ".clust",
+                                  append=not first, ignore_small=0)
+            clusterio.save_binary(cents, ids_list, write_path,
+                                  append=not first, ignore_small=0)
+        total += len(ids_list)
+        offset += bs
+        first = False
+
+    while total > batch:
+        similarity -= 0.001  # kmerLSH.cc:356
+        read_path = write_path
+        tmp_no += 1
+        write_path = os.path.join(params.tmp_dir, f"{tmp_no}.bin")
+        remaining, total, start, first = total, 0, 0, True
+        while start < remaining:
+            bs = min(batch, remaining - start)
+            values, ids_list = clusterio.read_cluster(read_path, S, start, bs)
+            sizes = np.asarray([len(x) for x in ids_list], np.int32)
+            with stages.stage("cluster_merge_round"):
+                cents, _, groups = cluster(values, sizes, 5, similarity, seed)
+            seed += 1
+            out_ids = [np.sort(np.concatenate([ids_list[i] for i in g]))
+                       for g in groups]
+            clusterio.save_result(out_ids, write_path + ".clust",
+                                  append=not first, ignore_small=0)
+            clusterio.save_binary(cents, out_ids, write_path,
+                                  append=not first, ignore_small=0)
+            total += len(out_ids)
+            start += bs
+            first = False
+        os.remove(read_path)
+        os.remove(read_path + ".clust")
+
+    return clusterio.read_cluster_all(write_path, S)
+
+
+def kmer_cluster(params: HyperParams) -> Stages:
+    """Full pipeline driver (= ``kmerCluster``, app/kmerLSH.cc:432-603)."""
+    stages = Stages(params.verbose)
+    samples1, kmc_names1 = get_input(params.input1)
+    samples2, kmc_names2 = get_input(params.input2)
+    samples = samples1 + samples2
+    kmc_names = kmc_names1 + kmc_names2
+    n1, n2 = len(samples1), len(samples2)
+    if params.verbose:
+        print(f"# samples in group 1: {n1}\n# samples in group 2: {n2}")
+
+    kmap_size: int | None = None
+    v_kmers: list[float] | None = None
+
+    if params.kmc:
+        with stages.stage("K_kmc"):
+            for fq, name in zip(samples, kmc_names):
+                kmcio.run_kmc(fq, name, params.k, params.count_min,
+                              params.threads_to_use, params.max_memory,
+                              params.work_dir, params.verbose)
+    if params.bin:
+        with stages.stage("B_bin"):
+            kmap_size, v_kmers = countsio.build_count_matrix(
+                kmc_names, params.k, params.work_dir, params.verbose)
+
+    clust_path = params.clust_file_name
+
+    if params.clustering:
+        if not params.bin:
+            kmap_size, covs = countsio.read_log(
+                os.path.join(params.work_dir, countsio.LOG_NAME))
+            v_kmers = [c / kmap_size for c in covs]
+        with stages.stage("C_init_clustering"):
+            values, ids_list = init_clustering(params, kmap_size, v_kmers, stages)
+        sizes = np.asarray([len(x) for x in ids_list], np.int32)
+        with stages.stage("C_cluster"):
+            cents, _, groups = _cluster_fn(params)(
+                values, sizes, params.cluster_iteration,
+                params.min_similarity, params.seed + 10_000)
+        final_ids = [np.sort(np.concatenate([ids_list[i] for i in g]))
+                     for g in groups]
+        with stages.stage("C_save"):
+            clusterio.save_result(final_ids, clust_path + ".clust",
+                                  ignore_small=params.ignore_small)
+            clusterio.save_binary(cents, final_ids, clust_path,
+                                  ignore_small=params.ignore_small)
+        stages.record("clusters", len([x for x in final_ids
+                                       if len(x) > params.ignore_small]))
+
+    if params.extracting:
+        with stages.stage("E_wrs"):
+            values, ids_list = clusterio.read_cluster_all(
+                clust_path, len(samples))
+            sizes = np.asarray([len(x) for x in ids_list], np.int64)
+            verdicts = np.asarray(ttest.wrs_verdicts(
+                values, sizes, n1, n2, params.pval_thresh, params.size_thresh))
+        keys = countsio.read_hex(os.path.join(params.work_dir, countsio.HEX_NAME))
+        gids1 = [ids for ids, v in zip(ids_list, verdicts) if v == 1]
+        gids2 = [ids for ids, v in zip(ids_list, verdicts) if v == 2]
+        gk1 = np.sort(keys[np.concatenate(gids1).astype(np.int64)]) if gids1 \
+            else np.empty(0, np.uint64)
+        gk2 = np.sort(keys[np.concatenate(gids2).astype(np.int64)]) if gids2 \
+            else np.empty(0, np.uint64)
+        if params.verbose:
+            print(f"# of differential kmers in group A : {len(gk1)}")
+            print(f"# of differential kmers in group B : {len(gk2)}")
+        with stages.stage("E_extract"):
+            _extract_group(samples1, gk1, params.output1, params)
+            _extract_group(samples2, gk2, params.output2, params)
+        stages.record("diff_kmers_group1", len(gk1))
+        stages.record("diff_kmers_group2", len(gk2))
+
+    return stages
+
+
+def _extract_group(
+    sample_files: list[str], diff_keys: np.ndarray, out_prefix: str,
+    params: HyperParams,
+) -> None:
+    """= ``IOFQ::Extracting`` (io/ioFastQ.cc:161-195): one output file per
+    sample named ``{out_prefix}_{basename(sample)}``."""
+    for path in sample_files:
+        out = f"{out_prefix}_{os.path.basename(path)}"
+        if params.verbose:
+            print(f"writing to {out}")
+        with open(out, "wb") as f:
+            for part in fastqio.read_parts([path]):
+                mask = readops.score_part(
+                    [r.seq for r in part], diff_keys, params.k,
+                    params.kmer_vote)
+                fastqio.write_fastq(f, (r for r, m in zip(part, mask) if m))

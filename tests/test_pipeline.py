@@ -1,0 +1,175 @@
+"""End-to-end pipeline tests on synthetic two-group data with planted
+differential k-mers: full KBCE run, restart-from-artifacts (mode C / E),
+read scoring semantics, and both engines."""
+
+import os
+
+import numpy as np
+import pytest
+
+from kmerlsh_tpu import testdata
+from kmerlsh_tpu.config import HyperParams
+from kmerlsh_tpu.io import clusterio, counts as countsio, fastq as fastqio
+from kmerlsh_tpu.kmer import codec
+from kmerlsh_tpu.ops import reads as readops
+from kmerlsh_tpu.pipeline import kmer_cluster
+
+K = 15
+
+
+def make_params(tmp_path, **kw):
+    m = testdata.generate(str(tmp_path / "data"), seed=99)
+    p = HyperParams(
+        input1=m["lists"]["A"], input2=m["lists"]["B"],
+        output1=str(tmp_path / "outA"), output2=str(tmp_path / "outB"),
+        clust_file_name=str(tmp_path / "clustering_result.txt"),
+        tmp_dir=str(tmp_path / "tmp"), work_dir=str(tmp_path),
+        k=K, cluster_iteration=15, min_similarity=0.85,
+        size_thresh=20, pval_thresh=0.01, kmer_vote=0.5,
+        count_min=2, seed=5,
+    )
+    for k, v in kw.items():
+        setattr(p, k, v)
+    return p, m
+
+
+def marker_keys(markers, k=K):
+    keys = []
+    for seq in markers:
+        codes, _ = codec.seq_to_codes(seq.encode())
+        keys.append(codec.canonical_key(codec.sliding_kmers(codes, k), k))
+    return np.unique(np.concatenate(keys))
+
+
+@pytest.mark.parametrize("eng", ["tpu", "greedy"])
+def test_full_pipeline_finds_planted_markers(tmp_path, eng):
+    p, m = make_params(tmp_path, engine=eng)
+    stages = kmer_cluster(p)
+
+    # B artifacts exist and are consistent
+    keys = countsio.read_hex(str(tmp_path / "kmer_set.hex"))
+    kmap, covs = countsio.read_log(str(tmp_path / "kmer_count.log"))
+    assert kmap == len(keys) > 0
+
+    # the planted differential k-mers must be attributed to the right groups
+    mk_a = marker_keys(m["markers"]["A"])
+    mk_b = marker_keys(m["markers"]["B"])
+    got_a = _extract_diff_keys(p, group=1)
+    got_b = _extract_diff_keys(p, group=2)
+    # group-A markers are high in group A → righttail → group 1 set
+    frac_a = np.isin(mk_a[np.isin(mk_a, keys)], got_a).mean()
+    frac_b = np.isin(mk_b[np.isin(mk_b, keys)], got_b).mean()
+    assert frac_a > 0.8, f"only {frac_a:.0%} of A markers recovered"
+    assert frac_b > 0.8, f"only {frac_b:.0%} of B markers recovered"
+    # and background k-mers must NOT leak in wholesale
+    bg = np.setdiff1d(keys, np.concatenate([mk_a, mk_b]))
+    assert np.isin(bg, got_a).mean() < 0.2
+    assert np.isin(bg, got_b).mean() < 0.2
+
+    # extracted read files exist and contain only marker-derived reads
+    for g, mk in (("A", m["markers"]["A"]), ("B", m["markers"]["B"])):
+        for fq in m["samples"][g]:
+            out = f"{getattr(p, 'output1' if g == 'A' else 'output2')}_" \
+                  f"{os.path.basename(fq)}"
+            assert os.path.exists(out)
+            extracted = list(fastqio.read_records(out))
+            assert len(extracted) > 0
+            joined = "|".join(mk)
+            marker_frac = np.mean([r.seq.decode() in joined for r in extracted])
+            assert marker_frac > 0.9
+
+
+def _extract_diff_keys(p, group):
+    """Recompute the differential key set the pipeline used, via artifacts."""
+    from kmerlsh_tpu.io.samples import get_input
+    from kmerlsh_tpu.ops import ttest
+
+    samples1, _ = get_input(p.input1)
+    samples2, _ = get_input(p.input2)
+    values, ids_list = clusterio.read_cluster_all(
+        p.clust_file_name, len(samples1) + len(samples2))
+    sizes = np.asarray([len(x) for x in ids_list])
+    verdicts = np.asarray(ttest.wrs_verdicts(
+        values, sizes, len(samples1), len(samples2), p.pval_thresh,
+        p.size_thresh))
+    keys = countsio.read_hex(os.path.join(p.work_dir, "kmer_set.hex"))
+    sel = [ids for ids, v in zip(ids_list, verdicts) if v == group]
+    if not sel:
+        return np.empty(0, np.uint64)
+    return np.sort(keys[np.concatenate(sel).astype(np.int64)])
+
+
+def test_mode_restart_from_artifacts(tmp_path):
+    # full KBC first, then rerun C-only and E-only from files (the
+    # reference's restartability contract, app/kmerLSH.cc:463-482,522-596)
+    p, m = make_params(tmp_path)
+    p.extracting = False
+    kmer_cluster(p)
+    clust1 = open(p.clust_file_name + ".clust").read()
+
+    p2, _ = make_params(tmp_path)  # regenerates identical data (same seed)
+    p2.apply_mode("C", only=True)
+    assert (p2.kmc, p2.bin, p2.clustering, p2.extracting) == (
+        False, False, True, False)
+    kmer_cluster(p2)
+    clust2 = open(p2.clust_file_name + ".clust").read()
+    assert clust1 == clust2  # deterministic restart
+
+    p3, _ = make_params(tmp_path)
+    p3.apply_mode("E", only=True)
+    kmer_cluster(p3)
+    outs = [f"{p3.output1}_{os.path.basename(f)}" for f in m["samples"]["A"]]
+    assert all(os.path.exists(o) for o in outs)
+
+
+def test_batched_out_of_core_matches_single_batch(tmp_path):
+    # tiny batch_thresh forces multi-batch + merge rounds; the final
+    # differential sets must still recover the markers
+    p, m = make_params(tmp_path, batch_thresh=500)
+    kmer_cluster(p)
+    keys = countsio.read_hex(str(tmp_path / "kmer_set.hex"))
+    mk_a = marker_keys(m["markers"]["A"])
+    got_a = _extract_diff_keys(p, group=1)
+    frac = np.isin(mk_a[np.isin(mk_a, keys)], got_a).mean()
+    assert frac > 0.8
+
+
+# --- read scoring unit semantics --------------------------------------------
+
+def test_score_part_reference_semantics():
+    k = 11
+    rng = np.random.default_rng(0)
+    marker = "".join(rng.choice(list("ACGT"), size=60))
+    codes, _ = codec.seq_to_codes(marker.encode())
+    diff = np.sort(codec.canonical_key(codec.sliding_kmers(codes, k), k))
+
+    other = "".join(rng.choice(list("ACGT"), size=60))
+    half = marker[:30] + other[:30]
+    short = marker[: k + 9]          # len = k+9 < k+10 → never selected
+    exact_min = marker[: k + 10]     # len = k+10 → eligible
+    seqs = [marker.encode(), other.encode(), half.encode(), short.encode(),
+            exact_min.encode(), b""]
+    sel = readops.score_part(seqs, diff, k, kmer_vote=0.5)
+    assert list(sel) == [True, False, False, False, True, False]
+
+    # revcomp'd read still matches (canonical lookup)
+    rc = marker.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+    sel2 = readops.score_part([rc.encode()], diff, k, 0.5)
+    assert list(sel2) == [True]
+
+    # vote threshold is strict '>' (ioFastQ.cc:63)
+    hits_needed = len(marker) - k + 1
+    sel3 = readops.score_part([marker.encode()], diff, k,
+                              kmer_vote=1.0)  # ratio == 1.0 not > 1.0
+    assert list(sel3) == [False]
+
+
+def test_score_part_n_bases_encode_as_A():
+    # non-ACGT encodes as 'A' in read k-mers (no skipping) — a read of N's
+    # matches a poly-A differential set
+    k = 7
+    polyA = codec.canonical_key(
+        codec.sliding_kmers(np.zeros(30, np.uint8), k), k)
+    diff = np.unique(polyA)
+    sel = readops.score_part([b"N" * 30], diff, k, 0.5)
+    assert list(sel) == [True]
