@@ -43,28 +43,26 @@ import numpy as np
 from kmerlsh_tpu.ops import lsh, segment
 
 
-@partial(jax.jit, static_argnames=("rounds",), donate_argnums=(0, 1))
-def _lsh_merge_iteration(
+BIG_KEY = 2**31 - 1  # sentinel: dead slots sort to the end
+
+
+def pairing_merge(
     values: jax.Array,   # f32 [M, S]
     sizes: jax.Array,    # i32 [M]  (0 = dead slot)
-    rng: jax.Array,      # PRNG key
-    h: jax.Array,        # i32 scalar: active hyperplanes (⌊log2 n⌋)
+    keys: jax.Array,     # i32 [M] bucket keys (BIG_KEY for dead slots)
+    proj: jax.Array,     # f32 [M] secondary ordering projection
     threshold: jax.Array,  # f32 scalar: cosine-similarity threshold
-    rounds: int = 4,
+    rounds: int,
 ):
-    """One LSH iteration: hash, bucket, R pairing-merge rounds.
+    """R vectorized pairing-merge rounds over key segments (traceable core,
+    shared by the single-chip and shard_map paths).
 
     Returns (values, sizes, winners i32 [rounds, M], losers i32 [rounds, M])
     where (winners[r, i], losers[r, i]) are slot indices merged in round r
     (-1 entries are padding).
     """
     m = values.shape[0]
-    big = jnp.int32(2**31 - 1)
-
-    hyper = lsh.draw_hyperplanes(rng, values.shape[1])
-    keys, proj = lsh.signatures(values, hyper, h)
-    alive0 = sizes > 0
-    keys = jnp.where(alive0, keys, big)  # dead slots sort to the end
+    big = jnp.int32(BIG_KEY)
 
     order = jnp.lexsort((proj, keys))
     skey = keys[order]
@@ -132,6 +130,22 @@ def _lsh_merge_iteration(
         jnp.stack(win_all),
         jnp.stack(lose_all),
     )
+
+
+@partial(jax.jit, static_argnames=("rounds",), donate_argnums=(0, 1))
+def _lsh_merge_iteration(
+    values: jax.Array,   # f32 [M, S]
+    sizes: jax.Array,    # i32 [M]
+    rng: jax.Array,      # PRNG key
+    h: jax.Array,        # i32 scalar: active hyperplanes (⌊log2 n⌋)
+    threshold: jax.Array,
+    rounds: int = 4,
+):
+    """One single-chip LSH iteration: hash on the MXU, then pairing merge."""
+    hyper = lsh.draw_hyperplanes(rng, values.shape[1])
+    keys, proj = lsh.signatures(values, hyper, h)
+    keys = jnp.where(sizes > 0, keys, jnp.int32(BIG_KEY))
+    return pairing_merge(values, sizes, keys, proj, threshold, rounds)
 
 
 class UnionFind:

@@ -1,0 +1,91 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh:
+sharded clustering must agree with single-chip results; collectives must
+only move summaries; sharded WRS must equal the single-device verdicts."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from kmerlsh_tpu.cluster import engine
+from kmerlsh_tpu.ops import ttest
+from kmerlsh_tpu.parallel import dist, mesh as meshlib
+
+
+def planted(rng, n_clusters, members, S, noise=0.01):
+    centers = rng.normal(size=(n_clusters, S)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows, labels = [], []
+    for c in range(n_clusters):
+        rows.append((centers[c] + noise * rng.normal(size=(members, S)))
+                    .astype(np.float32))
+        labels += [c] * members
+    rows = np.concatenate(rows)
+    perm = rng.permutation(len(rows))
+    return rows[perm], np.asarray(labels)[perm]
+
+
+def partition_of(members, n):
+    lab = np.full(n, -1)
+    for c, ids in enumerate(members):
+        lab[np.asarray(ids, int)] = c
+    assert (lab >= 0).all()
+    return lab
+
+
+def test_mesh_has_8_devices():
+    m = meshlib.make_mesh()
+    assert m.size == 8
+
+
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_sharded_cluster_recovers_planted(n_devices):
+    rng = np.random.default_rng(0)
+    X, labels = planted(rng, n_clusters=10, members=24, S=16)
+    m = meshlib.make_mesh(n_devices)
+    cents, sizes, members = dist.cluster_sharded(
+        X, mesh=m, min_similarity=0.90, iterations=25, seed=3)
+    assert len(members) == 10
+    assert sorted(sizes.tolist()) == [24] * 10
+    got = partition_of(members, len(X))
+    pairs = set(zip(got.tolist(), labels.tolist()))
+    assert len(pairs) == 10
+
+
+def test_sharded_matches_singlechip_partition():
+    rng = np.random.default_rng(1)
+    X, _ = planted(rng, n_clusters=6, members=20, S=12, noise=0.005)
+    m = meshlib.make_mesh(4)
+    _, s_d, m_d = dist.cluster_sharded(X, mesh=m, min_similarity=0.9,
+                                       iterations=20, seed=2)
+    _, s_1, m_1 = engine.cluster(X, min_similarity=0.9, iterations=20, seed=2)
+    assert sorted(s_d.tolist()) == sorted(s_1.tolist())
+    a, b = partition_of(m_d, len(X)), partition_of(m_1, len(X))
+    pairs = set(zip(a.tolist(), b.tolist()))
+    assert len(pairs) == len(set(a.tolist()))
+
+
+def test_cross_shard_merging_actually_happens():
+    # duplicates of ONE profile scattered across all shards must end up in
+    # ONE cluster — impossible without the global (all_gather) phase
+    rng = np.random.default_rng(2)
+    base = rng.normal(size=16).astype(np.float32)
+    X = np.tile(base, (64, 1)) + 1e-4 * rng.normal(size=(64, 16)).astype(np.float32)
+    m = meshlib.make_mesh(8)
+    _, sizes, members = dist.cluster_sharded(X, mesh=m, min_similarity=0.9,
+                                             iterations=10, seed=0)
+    assert len(members) == 1 and sizes[0] == 64
+
+
+def test_sharded_wrs_matches_single_device():
+    rng = np.random.default_rng(3)
+    n1 = n2 = 4
+    vals = rng.normal(size=(64, n1 + n2)).astype(np.float32)
+    vals[5, :n1] += 4
+    vals[9, n1:] += 4
+    sizes = rng.integers(1, 100, size=64).astype(np.int32)
+    m = meshlib.make_mesh(8)
+    fn = dist.sharded_wrs(m, n1, n2, 0.01, size_thresh=20)
+    got = np.asarray(fn(dist.shard_rows(m, vals), dist.shard_rows(m, sizes)))
+    want = np.asarray(ttest.wrs_verdicts(vals, sizes, n1, n2, 0.01, 20))
+    assert np.array_equal(got, want)
