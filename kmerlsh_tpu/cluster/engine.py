@@ -20,12 +20,20 @@ XLA rather than translated:
   * **oversized buckets** — need no special case (the reference re-partitions
     buckets > 1e6 once, cluster.cc:286-288): pairing cost is independent of
     bucket size;
-  * **dynamic cluster count** — static-shape state with validity masks;
-    the host compacts and halves capacity when occupancy drops below 50%.
+  * **dynamic cluster count** — static-shape state with validity masks; the
+    active hyperplane count h = ⌊log2 n_alive⌋ is computed *in-graph* so
+    whole chunks of iterations run as one ``lax.scan`` without host
+    round-trips; the host compacts on device and halves capacity when
+    occupancy drops.
 
-Cluster membership is tracked on host via a union-find over input rows fed
-by per-round (winner, loser) merge events — centroids and sizes live on
-device, id lists never do.
+Host↔device traffic per chunk is one int32[M] ``merged_into`` array (each
+slot dies at most once, so merges compose into a single map); centroids and
+sizes never leave the device until the final compacted result. This matters
+doubly on remote-tunneled TPUs where PCIe-class transfers are the
+bottleneck.
+
+Cluster membership is tracked on host via a parent forest over input rows —
+id lists never exist on device.
 
 Determinism: hyperplanes come from ``jax.random`` keys derived from a seed
 (the reference draws from an unseeded ``std::random_device``).
@@ -42,8 +50,9 @@ import numpy as np
 
 from kmerlsh_tpu.ops import lsh, segment
 
-
 BIG_KEY = 2**31 - 1  # sentinel: dead slots sort to the end
+
+DEFAULT_CHUNK = 8  # LSH iterations fused into one lax.scan program
 
 
 def pairing_merge(
@@ -53,50 +62,63 @@ def pairing_merge(
     proj: jax.Array,     # f32 [M] secondary ordering projection
     threshold: jax.Array,  # f32 scalar: cosine-similarity threshold
     rounds: int,
+    merged_into: jax.Array | None = None,  # i32 [M] accumulator (-1 = alive)
 ):
     """R vectorized pairing-merge rounds over key segments (traceable core,
     shared by the single-chip and shard_map paths).
 
-    Returns (values, sizes, winners i32 [rounds, M], losers i32 [rounds, M])
-    where (winners[r, i], losers[r, i]) are slot indices merged in round r
-    (-1 entries are padding).
+    Returns (values, sizes, merged_into) where ``merged_into[slot]`` is the
+    slot that absorbed ``slot`` (-1 while alive). Chains compose across
+    calls when the accumulator is threaded through.
     """
     m = values.shape[0]
     big = jnp.int32(BIG_KEY)
+    if merged_into is None:
+        merged_into = jnp.full((m,), -1, jnp.int32)
 
+    # NOTE: this function is deliberately scatter-free — XLA:TPU lowers
+    # arbitrary-index scatters very poorly, so every indexed write is
+    # re-expressed as an argsort (fast on TPU) or a symmetric gather where
+    # each element computes its own fate.
     order = jnp.lexsort((proj, keys))
     skey = keys[order]
     sval = values[order]
     ssize = sizes[order]
     sslot = order.astype(jnp.int32)
+    smi = merged_into[order]
 
     starts = segment.segment_starts(skey)
     valid_seg = skey != big
     seg_id = jnp.cumsum(starts.astype(jnp.int32))
+    pos = jnp.arange(m, dtype=jnp.int32)
 
-    win_all, lose_all = [], []
     for r in range(rounds):
         alive = (ssize > 0) & valid_seg
         a = alive.astype(jnp.int32)
         g = jnp.cumsum(a) - 1  # global alive rank (dense, segment-contiguous)
+        n_alive = jnp.sum(a)
         rank = segment.alive_rank_in_segment(alive, starts)
 
-        # position of the alive element with global rank g (scatter-drop dead)
-        pos_of_g = jnp.full((m,), m, dtype=jnp.int32)
-        pos_of_g = pos_of_g.at[jnp.where(alive, g, m)].set(
-            jnp.arange(m, dtype=jnp.int32), mode="drop"
-        )
+        # pos_of_g[j] = position of the j-th alive element: alive elements
+        # in position order ARE in global-rank order, so a stable argsort
+        # of the dead-mask compacts them (no scatter needed)
+        pos_of_g = jnp.argsort(jnp.where(alive, 0, 1), stable=True).astype(
+            jnp.int32)
 
         ph = r % 2
-        is_left = alive & (rank >= ph) & ((rank - ph) % 2 == 0)
-        partner = pos_of_g[jnp.clip(g + 1, 0, m - 1)]
+        role_left = alive & (rank >= ph) & ((rank - ph) % 2 == 0)
+        role_right = alive & (rank >= ph + 1) & ((rank - ph) % 2 == 1)
+
+        # each element gathers its own partner; sims are computed on both
+        # sides with identical reduction order, so the left/right decisions
+        # agree bitwise
+        p_left = pos_of_g[jnp.clip(g + 1, 0, m - 1)]   # right partner of a left
+        p_right = pos_of_g[jnp.clip(g - 1, 0, m - 1)]  # left partner of a right
+        partner = jnp.where(role_left, p_left, p_right)
         partner_ok = (
-            is_left
-            & (g + 1 < jnp.sum(a))
-            & (partner < m)
-            & (seg_id[jnp.clip(partner, 0, m - 1)] == seg_id)
-        )
-        partner = jnp.where(partner_ok, partner, 0)
+            (role_left & (g + 1 < n_alive)) | (role_right & (g >= 1))
+        ) & (seg_id[jnp.clip(partner, 0, m - 1)] == seg_id)
+        partner = jnp.where(partner_ok, partner, pos)
 
         pv = sval[partner]
         ps = ssize[partner]
@@ -105,167 +127,218 @@ def pairing_merge(
         sim = dot / jnp.where(nn > 0, nn, 1.0)
         merge = partner_ok & (sim >= threshold)
 
+        win = merge & role_left    # absorbs its partner
+        lose = merge & role_right  # dies into its partner
+
         tot = (ssize + ps).astype(jnp.float32)
-        wnew = jnp.where(
-            merge[:, None],
-            (sval * ssize[:, None].astype(jnp.float32) + pv * ps[:, None].astype(jnp.float32))
-            / jnp.where(merge, tot, 1.0)[:, None],
+        sval = jnp.where(
+            win[:, None],
+            (sval * ssize[:, None].astype(jnp.float32)
+             + pv * ps[:, None].astype(jnp.float32))
+            / jnp.where(win, tot, 1.0)[:, None],
             sval,
         )
-        # winner (left) absorbs partner; partner dies
-        loser_mask = jnp.zeros((m,), bool).at[jnp.where(merge, partner, m)].set(
-            True, mode="drop"
-        )
-        sval = wnew
-        ssize = jnp.where(merge, ssize + ps, ssize)
-        ssize = jnp.where(loser_mask, 0, ssize)
+        ssize = jnp.where(win, ssize + ps, ssize)
+        ssize = jnp.where(lose, 0, ssize)
+        smi = jnp.where(lose, sslot[partner], smi)
 
-        win_all.append(jnp.where(merge, sslot, -1))
-        lose_all.append(jnp.where(merge, sslot[partner], -1))
+    inv = jnp.argsort(order).astype(jnp.int32)
+    return sval[inv], ssize[inv], smi[inv]
 
-    inv = jnp.zeros((m,), jnp.int32).at[order].set(jnp.arange(m, dtype=jnp.int32))
-    return (
-        sval[inv],
-        ssize[inv],
-        jnp.stack(win_all),
-        jnp.stack(lose_all),
+
+def _one_iteration(values, sizes, rng, threshold, rounds, merged_into):
+    """One LSH iteration with h = ⌊log2 n_alive⌋ computed in-graph."""
+    n_alive = jnp.maximum(jnp.sum((sizes > 0).astype(jnp.int32)), 2)
+    h = jnp.clip(
+        jnp.floor(jnp.log2(n_alive.astype(jnp.float32))).astype(jnp.int32),
+        1, lsh.H_MAX,
     )
-
-
-@partial(jax.jit, static_argnames=("rounds",), donate_argnums=(0, 1))
-def _lsh_merge_iteration(
-    values: jax.Array,   # f32 [M, S]
-    sizes: jax.Array,    # i32 [M]
-    rng: jax.Array,      # PRNG key
-    h: jax.Array,        # i32 scalar: active hyperplanes (⌊log2 n⌋)
-    threshold: jax.Array,
-    rounds: int = 4,
-):
-    """One single-chip LSH iteration: hash on the MXU, then pairing merge."""
     hyper = lsh.draw_hyperplanes(rng, values.shape[1])
     keys, proj = lsh.signatures(values, hyper, h)
     keys = jnp.where(sizes > 0, keys, jnp.int32(BIG_KEY))
-    return pairing_merge(values, sizes, keys, proj, threshold, rounds)
+    return pairing_merge(values, sizes, keys, proj, threshold, rounds,
+                         merged_into)
 
 
-class UnionFind:
-    """Host-side membership forest over input rows."""
+@partial(jax.jit, static_argnames=("rounds",), donate_argnums=(0, 1))
+def _lsh_merge_iteration(values, sizes, rng, h, threshold, rounds: int = 4):
+    """Single-iteration entry (kept for the compile-check / bench paths;
+    ``h`` is accepted for signature stability but recomputed in-graph)."""
+    del h
+    return _one_iteration(values, sizes, rng, threshold, rounds,
+                          jnp.full((values.shape[0],), -1, jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("rounds",), donate_argnums=(0, 1))
+def _lsh_cluster_chunk(values, sizes, base_rng, iter_offset, thresholds,
+                       rounds: int = 4):
+    """Run ``len(thresholds)`` LSH iterations as one ``lax.scan`` program.
+
+    Returns (values, sizes, merged_into, n_alive): one composed merge map
+    for the whole chunk (each slot dies at most once per run)."""
+    m = values.shape[0]
+
+    def body(carry, x):
+        values, sizes, mi = carry
+        thr, it = x
+        rng = jax.random.fold_in(base_rng, it)
+        values, sizes, mi = _one_iteration(values, sizes, rng, thr, rounds, mi)
+        return (values, sizes, mi), ()
+
+    its = iter_offset + jnp.arange(len(thresholds), dtype=jnp.int32)
+    (values, sizes, mi), _ = jax.lax.scan(
+        body, (values, sizes, jnp.full((m,), -1, jnp.int32)),
+        (thresholds, its))
+    n_alive = jnp.sum((sizes > 0).astype(jnp.int32))
+    return values, sizes, mi, n_alive
+
+
+@jax.jit
+def _compact_order(sizes):
+    """Stable permutation placing alive slots first."""
+    return jnp.argsort(sizes == 0, stable=True).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("new_cap",), donate_argnums=(0, 1))
+def _gather_slice(values, sizes, order, new_cap: int):
+    return values[order][:new_cap], sizes[order][:new_cap]
+
+
+class MergeForest:
+    """Host-side membership forest over input rows, fed by batched merge
+    events. A loser slot dies the moment it merges and never appears again,
+    so ``parent[loser] = winner`` needs no find — event application is one
+    vectorized scatter per chunk."""
 
     def __init__(self, n: int):
         self.parent = np.arange(n, dtype=np.int64)
 
-    def find(self, x: int) -> int:
-        p = self.parent
-        root = x
-        while p[root] != root:
-            root = p[root]
-        while p[x] != root:
-            p[x], x = root, p[x]
-        return root
+    def apply_events(self, winners: np.ndarray, losers: np.ndarray) -> int:
+        """winners/losers: row indices (-1 winner = padding). Returns #merges."""
+        mask = winners >= 0
+        self.parent[losers[mask]] = winners[mask]
+        return int(mask.sum())
 
-    def union_into(self, winner: int, loser: int) -> None:
-        self.parent[self.find(loser)] = self.find(winner)
+    def resolve(self) -> np.ndarray:
+        """Root row of every input row (vectorized log-depth pointer jump)."""
+        r = self.parent
+        while True:
+            nr = r[r]
+            if np.array_equal(nr, r):
+                return r
+            r = nr
+
+    def groups(self) -> tuple[np.ndarray, dict[int, np.ndarray]]:
+        """Returns (roots per row, {root: sorted member rows})."""
+        roots = self.resolve()
+        order = np.argsort(roots, kind="stable")
+        sr = roots[order]
+        starts = np.flatnonzero(np.r_[True, sr[1:] != sr[:-1]])
+        groups = np.split(order, starts[1:])
+        return roots, {int(sr[s]): g for s, g in zip(starts, groups)}
 
 
 def _pad_capacity(n: int) -> int:
-    """Round up to limit distinct compiled shapes (multiples of 256, then
-    powers of two above 4096)."""
-    if n <= 4096:
-        return max(256, 256 * math.ceil(n / 256))
-    return 1 << math.ceil(math.log2(n))
+    """Round up to a power of two (min 4096) so only log-many distinct
+    programs ever compile — on remote-compile TPU setups each distinct
+    shape costs a full XLA compile."""
+    return max(4096, 1 << math.ceil(math.log2(max(n, 1))))
 
 
 def cluster(
-    values: np.ndarray,
-    sizes: np.ndarray | None = None,
+    values,
+    sizes=None,
     min_similarity: float = 0.8,
     iterations: int = 100,
     seed: int = 0,
     rounds: int = 4,
+    chunk: int = DEFAULT_CHUNK,
     compact_below: float = 0.5,
     verbose: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, list[np.ndarray]]:
     """Cluster rows of ``values`` [N, S] with the annealed-threshold LSH loop
     (0.95 → min_similarity over ``iterations``, cluster.cc:190-192,330).
 
-    Returns (centroids [K, S], sizes [K], members: per-cluster sorted arrays
-    of input row indices), ordered by smallest member index.
+    ``values``/``sizes`` may be NumPy or device arrays (device arrays avoid
+    any host transfer of the matrix; rows with size 0 are pre-filtered
+    slots). Returns (centroids [K, S], sizes [K], members: per-cluster
+    sorted arrays of input row indices), ordered by smallest member index.
     """
-    values = np.asarray(values, dtype=np.float32)
+    on_device = isinstance(values, jax.Array)
+    if not on_device:
+        values = np.asarray(values, dtype=np.float32)
     n, s = values.shape
     if n == 0:
-        return values, np.zeros(0, np.int64), []
-    in_sizes = (
-        np.asarray(sizes, np.int32) if sizes is not None else np.ones(n, np.int32)
-    )
+        return np.zeros((0, s), np.float32), np.zeros(0, np.int64), []
 
-    uf = UnionFind(n)
     cap = _pad_capacity(n)
-    dev_vals = np.zeros((cap, s), np.float32)
-    dev_vals[:n] = values
-    dev_sizes = np.zeros(cap, np.int32)
-    dev_sizes[:n] = in_sizes
-    slot_row = np.full(cap, -1, np.int64)  # device slot -> representative row
+    if on_device:
+        jvals = jnp.pad(values.astype(jnp.float32), ((0, cap - n), (0, 0)))
+        if sizes is None:
+            jsizes = jnp.pad(jnp.ones(n, jnp.int32), (0, cap - n))
+        else:
+            jsizes = jnp.pad(jnp.asarray(sizes, jnp.int32), (0, cap - n))
+    else:
+        host_vals = np.zeros((cap, s), np.float32)
+        host_vals[:n] = values
+        host_sizes = np.zeros(cap, np.int32)
+        host_sizes[:n] = (np.asarray(sizes, np.int32) if sizes is not None
+                          else np.ones(n, np.int32))
+        jvals = jnp.asarray(host_vals)
+        jsizes = jnp.asarray(host_sizes)
+
+    forest = MergeForest(n)
+    slot_row = np.full(cap, -1, np.int64)  # device slot -> input row
     slot_row[:n] = np.arange(n)
+    root_rng = jax.random.PRNGKey(seed)
 
-    jvals = jnp.asarray(dev_vals)
-    jsizes = jnp.asarray(dev_sizes)
-    root = jax.random.PRNGKey(seed)
+    sim_step = (0.95 - min_similarity) / iterations
+    thresholds = (0.95 - sim_step * np.arange(iterations)).astype(np.float32)
 
-    max_similarity = 0.95
-    sim_step = (max_similarity - min_similarity) / iterations
-    threshold = max_similarity
+    it = 0
     n_alive = n
-
-    for it in range(iterations):
-        h = min(max(int(math.floor(math.log2(max(n_alive, 1)))), 0), lsh.H_MAX)
-        rng = jax.random.fold_in(root, it)
-        jvals, jsizes, winners, losers = _lsh_merge_iteration(
-            jvals, jsizes, rng, jnp.int32(h), jnp.float32(threshold), rounds
-        )
-        wn = np.asarray(winners).ravel()
-        ln = np.asarray(losers).ravel()
-        mask = wn >= 0
-        for w, l in zip(wn[mask], ln[mask]):
-            uf.union_into(slot_row[w], slot_row[l])
-        n_alive -= int(mask.sum())
-
+    while it < iterations:
+        c = min(chunk, iterations - it)
+        # pad to a fixed chunk length with an unreachable threshold (>1 ⇒
+        # no merges): a single compiled program per capacity, regardless of
+        # how many real iterations remain
+        thr = np.full(chunk, 9.0, np.float32)
+        thr[:c] = thresholds[it : it + c]
+        jvals, jsizes, mi, na = _lsh_cluster_chunk(
+            jvals, jsizes, root_rng, jnp.int32(it), jnp.asarray(thr), rounds)
+        mi = np.asarray(mi)
+        losers = np.flatnonzero(mi >= 0)
+        winners = mi[losers]
+        forest.apply_events(slot_row[winners], slot_row[losers])
+        n_alive = int(na)
+        it += c
         if verbose:
-            print(f"[tpu] iter {it + 1}: {n_alive} clusters, "
-                  f"threshold {threshold:.4f}")
-        threshold -= sim_step
+            print(f"[tpu] iter {it}: {n_alive} clusters, "
+                  f"threshold {thresholds[min(it, iterations - 1)]:.4f}")
 
-        # host-side compaction + capacity shrink
         new_cap = _pad_capacity(n_alive)
         if n_alive < compact_below * cap and new_cap < cap:
-            hs = np.asarray(jsizes)
-            alive_idx = np.nonzero(hs > 0)[0]
-            hv = np.asarray(jvals)[alive_idx]
+            order = _compact_order(jsizes)
+            perm = np.asarray(order)
+            jvals, jsizes = _gather_slice(jvals, jsizes, order, new_cap)
+            slot_row = slot_row[perm][:new_cap]
             cap = new_cap
-            dev_vals = np.zeros((cap, s), np.float32)
-            dev_vals[: len(alive_idx)] = hv
-            dev_sizes = np.zeros(cap, np.int32)
-            dev_sizes[: len(alive_idx)] = hs[alive_idx]
-            new_slot_row = np.full(cap, -1, np.int64)
-            new_slot_row[: len(alive_idx)] = slot_row[alive_idx]
-            slot_row = new_slot_row
-            jvals, jsizes = jnp.asarray(dev_vals), jnp.asarray(dev_sizes)
 
+    # final on-device compaction, then pull only the alive prefix
+    order = _compact_order(jsizes)
+    perm = np.asarray(order)
+    final_cap = _pad_capacity(n_alive)
+    jvals, jsizes = _gather_slice(jvals, jsizes, order, final_cap)
+    slot_row = slot_row[perm][:final_cap]
     final_sizes = np.asarray(jsizes)
     final_vals = np.asarray(jvals)
     alive_idx = np.nonzero(final_sizes > 0)[0]
 
-    # gather members per root
-    roots = np.array([uf.find(i) for i in range(n)], dtype=np.int64)
-    members_of_root: dict[int, list[int]] = {}
-    for row, r in enumerate(roots):
-        members_of_root.setdefault(int(r), []).append(row)
-
+    roots, members_of_root = forest.groups()
     out = []
     for si in alive_idx:
-        r = uf.find(slot_row[si])
-        out.append((members_of_root[r][0], final_vals[si], final_sizes[si],
-                    np.asarray(members_of_root[r], np.int64)))
+        g = members_of_root[int(roots[slot_row[si]])]
+        out.append((int(g[0]), final_vals[si], final_sizes[si], g))
     out.sort(key=lambda t: t[0])
     centroids = np.stack([o[1] for o in out]) if out else np.zeros((0, s), np.float32)
     out_sizes = np.asarray([o[2] for o in out], np.int64)

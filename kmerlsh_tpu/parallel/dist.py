@@ -40,21 +40,26 @@ def sharded_cluster_iteration(mesh, rounds: int = 4):
     """
 
     def local_and_global(values, sizes, rng, h, threshold):
+        del h  # recomputed in-graph from the global alive count
+        n_alive = jax.lax.psum(jnp.sum((sizes > 0).astype(jnp.int32)), ROWS)
+        hh = jnp.clip(
+            jnp.floor(jnp.log2(jnp.maximum(n_alive, 2).astype(jnp.float32)))
+            .astype(jnp.int32), 1, lsh.H_MAX)
+
         # ---- local phase (per shard) ----
         hyper = lsh.draw_hyperplanes(rng, values.shape[1])  # replicated draw
-        keys, proj = lsh.signatures(values, hyper, h)
+        keys, proj = lsh.signatures(values, hyper, hh)
         keys = jnp.where(sizes > 0, keys, jnp.int32(BIG_KEY))
-        values, sizes, win_l, lose_l = pairing_merge(
+        values, sizes, mi_l = pairing_merge(
             values, sizes, keys, proj, threshold, rounds)
 
         m_loc = values.shape[0]
         my = jax.lax.axis_index(ROWS).astype(jnp.int32)
         base = my * m_loc
-        win_l = jnp.where(win_l >= 0, win_l + base, -1)
-        lose_l = jnp.where(lose_l >= 0, lose_l + base, -1)
+        mi_l = jnp.where(mi_l >= 0, mi_l + base, -1)
 
         # ---- global phase: gather survivors' summaries over ICI ----
-        keys2, proj2 = lsh.signatures(values, hyper, h)
+        keys2, proj2 = lsh.signatures(values, hyper, hh)
         keys2 = jnp.where(sizes > 0, keys2, jnp.int32(BIG_KEY))
         g_vals = jax.lax.all_gather(values, ROWS).reshape(-1, values.shape[1])
         g_sizes = jax.lax.all_gather(sizes, ROWS).reshape(-1)
@@ -62,7 +67,7 @@ def sharded_cluster_iteration(mesh, rounds: int = 4):
         g_proj = jax.lax.all_gather(proj2, ROWS).reshape(-1)
 
         # replicated deterministic merge of the gathered summaries
-        g_vals, g_sizes, win_g, lose_g = pairing_merge(
+        g_vals, g_sizes, mi_g = pairing_merge(
             g_vals, g_sizes, g_keys, g_proj, threshold, rounds)
 
         # scatter my shard back out of the merged global state
@@ -70,14 +75,13 @@ def sharded_cluster_iteration(mesh, rounds: int = 4):
         sizes = jax.lax.dynamic_slice_in_dim(g_sizes, my * m_loc, m_loc, 0)
 
         n_alive = jax.lax.psum(jnp.sum((sizes > 0).astype(jnp.int32)), ROWS)
-        return values, sizes, win_l, lose_l, win_g, lose_g, n_alive
+        return values, sizes, mi_l, mi_g, n_alive
 
     shmapped = jax.shard_map(
         local_and_global,
         mesh=mesh,
         in_specs=(P(ROWS, None), P(ROWS), P(), P(), P()),
-        out_specs=(P(ROWS, None), P(ROWS), P(ROWS, None), P(ROWS, None),
-                   P(), P(), P()),
+        out_specs=(P(ROWS, None), P(ROWS), P(ROWS), P(), P()),
         check_vma=False,
     )
     return jax.jit(shmapped)
@@ -126,7 +130,7 @@ def cluster_sharded(
 
     import numpy as np
 
-    from kmerlsh_tpu.cluster.engine import UnionFind
+    from kmerlsh_tpu.cluster.engine import MergeForest
     from kmerlsh_tpu.parallel.mesh import make_mesh
 
     mesh = mesh or make_mesh()
@@ -148,7 +152,7 @@ def cluster_sharded(
     jvals = shard_rows(mesh, host_vals)
     jsizes = shard_rows(mesh, host_sizes)
     step = sharded_cluster_iteration(mesh, rounds)
-    uf = UnionFind(n)
+    forest = MergeForest(n)
     root = jax.random.PRNGKey(seed)
 
     sim_step = (0.95 - min_similarity) / iterations
@@ -157,14 +161,14 @@ def cluster_sharded(
     for it in range(iterations):
         h = min(max(int(math.floor(math.log2(max(n_alive, 1)))), 0), lsh.H_MAX)
         rng = jax.random.fold_in(root, it)
-        jvals, jsizes, wl, ll, wg, lg, na = step(
+        jvals, jsizes, mi_l, mi_g, na = step(
             jvals, jsizes, rng, jnp.int32(h), jnp.float32(threshold))
-        for w_arr, l_arr in ((np.asarray(wl), np.asarray(ll)),
-                             (np.asarray(wg), np.asarray(lg))):
-            w_arr, l_arr = w_arr.ravel(), l_arr.ravel()
-            mask = (w_arr >= 0) & (w_arr < n) & (l_arr < n)
-            for w, l in zip(w_arr[mask], l_arr[mask]):
-                uf.union_into(w, l)
+        for mi in (np.asarray(mi_l), np.asarray(mi_g)):
+            losers = np.flatnonzero((mi >= 0) & (np.arange(len(mi)) < n))
+            winners = mi[losers]
+            ok = winners < n
+            forest.apply_events(np.where(ok, winners, -1),
+                                np.where(ok, losers, 0))
         n_alive = int(na)
         if verbose:
             print(f"[dist] iter {it + 1}: {n_alive} clusters, "
@@ -174,17 +178,13 @@ def cluster_sharded(
     final_sizes = np.asarray(jsizes)
     final_vals = np.asarray(jvals)
     alive_idx = np.nonzero(final_sizes > 0)[0]
-    roots = np.array([uf.find(i) for i in range(n)])
-    members_of_root: dict[int, list[int]] = {}
-    for row, r in enumerate(roots):
-        members_of_root.setdefault(int(r), []).append(row)
+    roots, members_of_root = forest.groups()
     out = []
     for si in alive_idx:
         if si >= n:
             continue
-        r = uf.find(si)
-        out.append((members_of_root[r][0], final_vals[si], final_sizes[si],
-                    np.asarray(members_of_root[r], np.int64)))
+        g = members_of_root[int(roots[si])]
+        out.append((int(g[0]), final_vals[si], final_sizes[si], g))
     out.sort(key=lambda t: t[0])
     centroids = np.stack([o[1] for o in out]) if out else np.zeros((0, s), np.float32)
     out_sizes = np.asarray([o[2] for o in out], np.int64)

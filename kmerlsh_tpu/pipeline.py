@@ -80,14 +80,23 @@ def init_clustering(
         with stages.stage("read_batch"):
             cmat = countsio.read_count_batch(bin_path, S, kmap_size, offset, bs)
         with stages.stage("transform"):
-            values, keep = transform.abundance_transform(cmat, v)
-            values, keep = np.asarray(values), np.asarray(keep)
-        ids = (offset + np.nonzero(keep)[0]).astype(np.uint64)
-        values = values[keep]
+            jvalues, keep = transform.abundance_transform(cmat, v)
+        if params.engine == "greedy":
+            keep_np = np.asarray(keep)
+            values = np.asarray(jvalues)[keep_np]
+            sizes = None
+            ids = (offset + np.nonzero(keep_np)[0]).astype(np.uint64)
+        else:
+            # stay on device: filtered rows ride along as 0-weight slots
+            import jax.numpy as jnp
+
+            values = jvalues
+            sizes = keep.astype(jnp.int32)
+            ids = (offset + np.arange(bs)).astype(np.uint64)
         if params.verbose:
-            print(f"batch @{offset}: {bs} rows, {len(values)} kept")
+            print(f"batch @{offset}: {bs} rows")
         with stages.stage("cluster_batch"):
-            cents, _, groups = cluster(values, None, 1, similarity, seed)
+            cents, _, groups = cluster(values, sizes, 1, similarity, seed)
         seed += 1
         ids_list = [np.sort(ids[g]) for g in groups]
         with stages.stage("save_tmp"):
@@ -129,6 +138,9 @@ def init_clustering(
 
 def kmer_cluster(params: HyperParams) -> Stages:
     """Full pipeline driver (= ``kmerCluster``, app/kmerLSH.cc:432-603)."""
+    from kmerlsh_tpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
     stages = Stages(params.verbose)
     samples1, kmc_names1 = get_input(params.input1)
     samples2, kmc_names2 = get_input(params.input2)
