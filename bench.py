@@ -1,0 +1,124 @@
+"""Benchmark: mode-C LSH clustering wall-clock vs the reference binary.
+
+Workload (BASELINE.json config #2 analog): a synthetic clusterable count
+matrix (N k-mer rows × S samples, ~200× profile redundancy), clustered with
+I annealed LSH iterations. The reference kmerLSH binary (12 OpenMP threads,
+built from /root/reference into /tmp) runs the identical mode-C workload for
+the baseline.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": rows_per_sec, "unit": "rows/s",
+   "vs_baseline": ref_time / tpu_time}
+
+Notes:
+  * the TPU run is timed WARM (one untimed warm-up run first): steady-state
+    throughput is the production metric; XLA compiles are one-time and
+    served from the persistent cache;
+  * the baseline is measured on this host's CPU (2 cores here — the
+    reference gets all of them for its 12 threads).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+N_ROWS = 1_000_000
+N_SAMPLES = 20
+ITERATIONS = 20
+MIN_SIM = 0.8
+WORK = "/tmp/kmerlsh_bench"
+REF_BUILD = "/tmp/kmerlsh_refbuild"
+REF_SRC = "/root/reference"
+
+
+def make_data(work: str) -> None:
+    rng = np.random.default_rng(0)
+    n_prof = N_ROWS // 200
+    prof = rng.gamma(2.0, 20.0, size=(n_prof, N_SAMPLES))
+    rows = rng.integers(0, n_prof, size=N_ROWS)
+    counts = np.minimum(rng.poisson(prof[rows]), 65535).astype(np.uint16)
+    counts.T.astype("<u2").tofile(os.path.join(work, "kmer_count.bin"))
+    cov = np.log(np.maximum(counts, 1).astype(np.float64)).sum(axis=0)
+    with open(os.path.join(work, "kmer_count.log"), "w") as f:
+        f.write(str(N_ROWS))
+        for c in cov:
+            f.write("\t%f" % c)
+    half = N_SAMPLES // 2
+    for name, rng_ in (("l1", range(half)), ("l2", range(half, N_SAMPLES))):
+        with open(os.path.join(work, name), "w") as f:
+            for i in rng_:
+                f.write(f"s{i}.fastq db{i}\n")
+
+
+def run_tpu(work: str) -> float:
+    from kmerlsh_tpu.config import HyperParams
+    from kmerlsh_tpu.pipeline import kmer_cluster
+
+    def once(tag: str) -> float:
+        tmp = os.path.join(work, f"tmp_{tag}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        p = HyperParams(
+            input1=os.path.join(work, "l1"), input2=os.path.join(work, "l2"),
+            clust_file_name=os.path.join(work, f"tpu_result_{tag}.txt"),
+            tmp_dir=tmp, work_dir=work,
+            cluster_iteration=ITERATIONS, min_similarity=MIN_SIM,
+            kmc=False, bin=False, clustering=True, extracting=False, seed=0,
+        )
+        t0 = time.perf_counter()
+        kmer_cluster(p)
+        return time.perf_counter() - t0
+
+    once("warmup")  # compile + cache population, untimed
+    return once("timed")
+
+
+def run_reference(work: str) -> float | None:
+    """Build (if needed) and time the reference binary on the same data."""
+    binary = os.path.join(REF_BUILD, "kmerLSH")
+    try:
+        if not os.path.exists(binary):
+            shutil.copytree(REF_SRC, REF_BUILD, dirs_exist_ok=True)
+            subprocess.run(["make", "-j4"], cwd=REF_BUILD, check=True,
+                           capture_output=True, timeout=1200)
+        os.makedirs(os.path.join(work, "tmp"), exist_ok=True)
+        t0 = time.perf_counter()
+        subprocess.run(
+            [binary, "-a", "l1", "-b", "l2", "-o", "oA", "-p", "oB",
+             "-M", "C", "--only", "-I", str(ITERATIONS), "-N", str(MIN_SIM),
+             "-T", "12", "-F", "ref_result.txt"],
+            cwd=work, check=True, capture_output=True, timeout=3600)
+        return time.perf_counter() - t0
+    except Exception as e:
+        print(f"# reference baseline unavailable: {e}", file=sys.stderr)
+        return None
+
+
+def main() -> None:
+    os.makedirs(WORK, exist_ok=True)
+    if not os.path.exists(os.path.join(WORK, "kmer_count.bin")):
+        make_data(WORK)
+
+    tpu_time = run_tpu(WORK)
+    ref_time = run_reference(WORK)
+
+    value = N_ROWS / tpu_time
+    out = {
+        "metric": f"mode_C_cluster_{N_ROWS // 1_000_000}Mx{N_SAMPLES}_I{ITERATIONS}",
+        "value": round(value, 1),
+        "unit": "kmer_rows/s",
+        "vs_baseline": round(ref_time / tpu_time, 3) if ref_time else None,
+        "tpu_seconds": round(tpu_time, 2),
+        "reference_seconds": round(ref_time, 2) if ref_time else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

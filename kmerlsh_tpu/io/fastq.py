@@ -14,6 +14,11 @@ import io as _io
 from dataclasses import dataclass
 from typing import Iterable, Iterator
 
+try:  # optional C++ accelerator (native/_native.cc)
+    import _kmerlsh_native as _native
+except ImportError:  # pragma: no cover
+    _native = None
+
 PART_SIZE = 1 << 16  # reads per part, = FastqFile::part_size (utils/fastq.h:36)
 
 
@@ -63,14 +68,40 @@ def read_records(path: str) -> Iterator[Read]:
     _ = first
 
 
+def _native_parts(path: str, part_size: int) -> Iterator[list[Read]]:
+    import numpy as np
+
+    rd = _native.FastqReader(path)
+    while True:
+        n, names, noff, seqs, soff, quals, qoff = rd.next_part(part_size)
+        if n == 0:
+            return
+        no = np.frombuffer(noff, dtype="<i8")
+        so = np.frombuffer(soff, dtype="<i8")
+        qo = np.frombuffer(qoff, dtype="<i8")
+        yield [
+            Read(names[no[i]: no[i + 1]], seqs[so[i]: so[i + 1]],
+                 quals[qo[i]: qo[i + 1]])
+            for i in range(n)
+        ]
+        if n < part_size:
+            return
+
+
 def read_parts(
     paths: Iterable[str], part_size: int = PART_SIZE
 ) -> Iterator[list[Read]]:
     """Yield lists of up to ``part_size`` reads across the given files,
-    matching the reference's 2^16-read part streaming (io/ioFastQ.cc:96)."""
+    matching the reference's 2^16-read part streaming (io/ioFastQ.cc:96).
+    Uses the C++ streaming parser when built; pure-Python fallback
+    otherwise."""
     part: list[Read] = []
     for p in paths:
-        for r in read_records(p):
+        source = (
+            (r for pt in _native_parts(p, part_size) for r in pt)
+            if _native is not None else read_records(p)
+        )
+        for r in source:
             part.append(r)
             if len(part) >= part_size:
                 yield part

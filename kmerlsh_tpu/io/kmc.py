@@ -214,11 +214,33 @@ def count_fastq(
     paths: Sequence[str], k: int, count_min: int = 2, cs: int = 65535,
     chunk_reads: int = 1 << 16,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Native canonical k-mer counter (KMC semantics): k-mers containing
+    """Built-in canonical k-mer counter (KMC semantics): k-mers containing
     non-ACGT bases are skipped; counts are over both strands of the canonical
     (lexicographic-min) representative; counts < count_min dropped; counts
     capped at ``cs``. Returns (packed kmers sorted lexicographically, counts).
+
+    Uses the C++ open-addressing counter (native/_native.cc) when built;
+    vectorized NumPy sort-unique fallback otherwise.
     """
+    try:
+        import _kmerlsh_native as native
+    except ImportError:
+        native = None
+    if native is not None:
+        counter = native.KmerCounter(k)
+        for path in paths:
+            rd = native.FastqReader(path)
+            while True:
+                n, _, _, seqs, soff, _, _ = rd.next_part(chunk_reads)
+                if n == 0:
+                    break
+                counter.add(seqs, soff)
+                if n < chunk_reads:
+                    break
+        pk, cb = counter.finalize(count_min, cs)
+        return (np.frombuffer(pk, dtype="<u8").copy(),
+                np.frombuffer(cb, dtype="<u4").copy())
+
     from kmerlsh_tpu.io import fastq as fq
 
     acc_keys: list[np.ndarray] = []

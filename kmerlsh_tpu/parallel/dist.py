@@ -51,7 +51,7 @@ def sharded_cluster_iteration(mesh, rounds: int = 4):
         keys, proj = lsh.signatures(values, hyper, hh)
         keys = jnp.where(sizes > 0, keys, jnp.int32(BIG_KEY))
         values, sizes, mi_l = pairing_merge(
-            values, sizes, keys, proj, threshold, rounds)
+            values, sizes, keys, proj, threshold, rounds, h=hh)
 
         m_loc = values.shape[0]
         my = jax.lax.axis_index(ROWS).astype(jnp.int32)
@@ -68,7 +68,7 @@ def sharded_cluster_iteration(mesh, rounds: int = 4):
 
         # replicated deterministic merge of the gathered summaries
         g_vals, g_sizes, mi_g = pairing_merge(
-            g_vals, g_sizes, g_keys, g_proj, threshold, rounds)
+            g_vals, g_sizes, g_keys, g_proj, threshold, rounds, h=hh)
 
         # scatter my shard back out of the merged global state
         values = jax.lax.dynamic_slice_in_dim(g_vals, my * m_loc, m_loc, 0)

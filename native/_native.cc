@@ -1,0 +1,399 @@
+// kmerlsh_tpu native host runtime: streaming FASTQ/gzip parser and
+// open-addressing canonical k-mer counter.
+//
+// TPU-era replacement for the reference's host-side C++ components:
+//   * kseq.h + utils/fastq.cc  -> FastqReader (zlib gzFile streaming,
+//     part-buffered like the reference's 2^16-read parts)
+//   * utils/libcuckoo + kmer/kmc_reader.cc -> KmerCounter (single-threaded
+//     open-addressing uint64->uint32 map over 2-bit packed k-mers; the
+//     device handles all heavy math, so the counter only needs to beat
+//     Python, not OpenMP)
+//
+// Plain CPython C API (no pybind11 in the image). Data crosses the
+// boundary as bytes objects; Python wraps them with np.frombuffer.
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+#include <stdint.h>
+#include <string.h>
+#include <zlib.h>
+
+#include <algorithm>
+#include <string>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------- utilities
+
+// 2-bit code per base; 4 = invalid (non-ACGT). Matches
+// kmerlsh_tpu.kmer.codec: A=0 C=1 G=2 T=3, case-sensitive like the
+// reference Kmer::set_kmer (kmer/Kmer.cc:121-129).
+static uint8_t kBaseCode[256];
+
+struct InitTables {
+  InitTables() {
+    memset(kBaseCode, 4, sizeof(kBaseCode));
+    kBaseCode[(unsigned char)'A'] = 0;
+    kBaseCode[(unsigned char)'C'] = 1;
+    kBaseCode[(unsigned char)'G'] = 2;
+    kBaseCode[(unsigned char)'T'] = 3;
+  }
+} init_tables_;
+
+// reverse the 32 2-bit groups of a word (for revcomp)
+static inline uint64_t reverse_bases64(uint64_t v) {
+  v = ((v >> 2) & 0x3333333333333333ULL) | ((v & 0x3333333333333333ULL) << 2);
+  v = ((v >> 4) & 0x0F0F0F0F0F0F0F0FULL) | ((v & 0x0F0F0F0F0F0F0F0FULL) << 4);
+  return __builtin_bswap64(v);
+}
+
+static inline uint64_t revcomp(uint64_t packed, int k) {
+  return reverse_bases64(~packed) >> (64 - 2 * k);
+}
+
+// lexicographic value (base 0 most significant) for KMC-style canonical
+static inline uint64_t lex_value(uint64_t packed, int k) {
+  return reverse_bases64(packed) >> (64 - 2 * k);
+}
+
+static inline uint64_t splitmix64(uint64_t x) {
+  x += 0x9E3779B97F4A7C15ULL;
+  x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9ULL;
+  x = (x ^ (x >> 27)) * 0x94D049BB133111EBULL;
+  return x ^ (x >> 31);
+}
+
+// ------------------------------------------------------------- FastqReader
+
+struct FastqReaderObject {
+  PyObject_HEAD
+  gzFile fp;
+  std::string* carry;  // partial line from the previous fill
+  bool eof;
+};
+
+static void FastqReader_dealloc(FastqReaderObject* self) {
+  if (self->fp) gzclose(self->fp);
+  delete self->carry;
+  Py_TYPE(self)->tp_free((PyObject*)self);
+}
+
+static PyObject* FastqReader_new(PyTypeObject* type, PyObject* args,
+                                 PyObject* kwds) {
+  const char* path = nullptr;
+  static const char* kwlist[] = {"path", nullptr};
+  if (!PyArg_ParseTupleAndKeywords(args, kwds, "s",
+                                   const_cast<char**>(kwlist), &path))
+    return nullptr;
+  FastqReaderObject* self = (FastqReaderObject*)type->tp_alloc(type, 0);
+  if (!self) return nullptr;
+  self->fp = gzopen(path, "rb");
+  self->carry = new std::string();
+  self->eof = false;
+  if (!self->fp) {
+    PyErr_Format(PyExc_FileNotFoundError, "cannot open %s", path);
+    Py_DECREF(self);
+    return nullptr;
+  }
+  gzbuffer(self->fp, 1 << 20);
+  return (PyObject*)self;
+}
+
+// read one logical line into out (without newline); returns false on EOF
+static bool read_line(FastqReaderObject* self, std::string& out) {
+  out.clear();
+  char buf[1 << 16];
+  for (;;) {
+    char* got = gzgets(self->fp, buf, sizeof(buf));
+    if (!got) {
+      self->eof = true;
+      return !out.empty();
+    }
+    size_t n = strlen(buf);
+    if (n && buf[n - 1] == '\n') {
+      if (n >= 2 && buf[n - 2] == '\r') n -= 1;
+      out.append(buf, n - 1);
+      return true;
+    }
+    out.append(buf, n);
+  }
+}
+
+// next_part(max_reads) ->
+//   (n, names_blob, name_off, seq_blob, seq_off, qual_blob, qual_off)
+// offsets are int64 arrays of length n+1 serialized as bytes
+static PyObject* FastqReader_next_part(FastqReaderObject* self,
+                                       PyObject* args) {
+  Py_ssize_t max_reads = 1 << 16;
+  if (!PyArg_ParseTuple(args, "|n", &max_reads)) return nullptr;
+
+  std::string names, seqs, quals, line, tmp;
+  std::vector<int64_t> noff{0}, soff{0}, qoff{0};
+  Py_ssize_t n = 0;
+
+  Py_BEGIN_ALLOW_THREADS
+  while (n < max_reads && !self->eof) {
+    if (!read_line(self, line)) break;
+    if (line.empty()) continue;
+    if (line[0] == '@') {
+      size_t sp = line.find_first_of(" \t");
+      size_t name_end = (sp == std::string::npos) ? line.size() : sp;
+      names.append(line, 1, name_end - 1);
+      read_line(self, tmp);  // sequence
+      seqs += tmp;
+      read_line(self, line);  // '+'
+      read_line(self, tmp);   // quality
+      quals += tmp;
+    } else if (line[0] == '>') {
+      size_t sp = line.find_first_of(" \t");
+      size_t name_end = (sp == std::string::npos) ? line.size() : sp;
+      names.append(line, 1, name_end - 1);
+      // multi-line FASTA: peek lines until next header
+      while (!self->eof) {
+        z_off_t pos = gztell(self->fp);
+        if (!read_line(self, tmp)) break;
+        if (!tmp.empty() && (tmp[0] == '>' || tmp[0] == '@')) {
+          gzseek(self->fp, pos, SEEK_SET);
+          self->eof = false;
+          break;
+        }
+        seqs += tmp;
+      }
+    } else {
+      continue;  // tolerate stray lines
+    }
+    noff.push_back((int64_t)names.size());
+    soff.push_back((int64_t)seqs.size());
+    qoff.push_back((int64_t)quals.size());
+    ++n;
+  }
+  Py_END_ALLOW_THREADS
+
+  return Py_BuildValue(
+      "(n y# y# y# y# y# y#)", n,
+      names.data(), (Py_ssize_t)names.size(),
+      (const char*)noff.data(), (Py_ssize_t)(noff.size() * sizeof(int64_t)),
+      seqs.data(), (Py_ssize_t)seqs.size(),
+      (const char*)soff.data(), (Py_ssize_t)(soff.size() * sizeof(int64_t)),
+      quals.data(), (Py_ssize_t)quals.size(),
+      (const char*)qoff.data(), (Py_ssize_t)(qoff.size() * sizeof(int64_t)));
+}
+
+static PyMethodDef FastqReader_methods[] = {
+    {"next_part", (PyCFunction)FastqReader_next_part, METH_VARARGS,
+     "Read up to max_reads records; returns blob/offset tuple."},
+    {nullptr, nullptr, 0, nullptr},
+};
+
+static PyTypeObject FastqReaderType = {
+    PyVarObject_HEAD_INIT(nullptr, 0)
+};
+
+// ------------------------------------------------------------- KmerCounter
+
+struct KmerCounterObject {
+  PyObject_HEAD
+  int k;
+  std::vector<uint64_t>* keys;    // open addressing; EMPTY = ~0
+  std::vector<uint32_t>* counts;
+  size_t used;
+};
+
+static const uint64_t kEmpty = ~0ULL;
+
+static void counter_grow(KmerCounterObject* self);
+
+static inline void counter_add(KmerCounterObject* self, uint64_t key) {
+  std::vector<uint64_t>& ks = *self->keys;
+  std::vector<uint32_t>& cs = *self->counts;
+  size_t mask = ks.size() - 1;
+  size_t i = splitmix64(key) & mask;
+  for (;;) {
+    if (ks[i] == key) {
+      if (cs[i] != UINT32_MAX) ++cs[i];
+      return;
+    }
+    if (ks[i] == kEmpty) {
+      ks[i] = key;
+      cs[i] = 1;
+      if (++self->used * 10 > ks.size() * 7) counter_grow(self);
+      return;
+    }
+    i = (i + 1) & mask;
+  }
+}
+
+static void counter_grow(KmerCounterObject* self) {
+  std::vector<uint64_t>* old_k = self->keys;
+  std::vector<uint32_t>* old_c = self->counts;
+  size_t ns = old_k->size() * 2;
+  self->keys = new std::vector<uint64_t>(ns, kEmpty);
+  self->counts = new std::vector<uint32_t>(ns, 0);
+  size_t mask = ns - 1;
+  for (size_t j = 0; j < old_k->size(); ++j) {
+    uint64_t key = (*old_k)[j];
+    if (key == kEmpty) continue;
+    size_t i = splitmix64(key) & mask;
+    while ((*self->keys)[i] != kEmpty) i = (i + 1) & mask;
+    (*self->keys)[i] = key;
+    (*self->counts)[i] = (*old_c)[j];
+  }
+  delete old_k;
+  delete old_c;
+}
+
+static void KmerCounter_dealloc(KmerCounterObject* self) {
+  delete self->keys;
+  delete self->counts;
+  Py_TYPE(self)->tp_free((PyObject*)self);
+}
+
+static PyObject* KmerCounter_new(PyTypeObject* type, PyObject* args,
+                                 PyObject* kwds) {
+  int k = 0;
+  static const char* kwlist[] = {"k", nullptr};
+  if (!PyArg_ParseTupleAndKeywords(args, kwds, "i",
+                                   const_cast<char**>(kwlist), &k))
+    return nullptr;
+  if (k < 1 || k > 31) {
+    PyErr_SetString(PyExc_ValueError, "k must be in [1, 31]");
+    return nullptr;
+  }
+  KmerCounterObject* self = (KmerCounterObject*)type->tp_alloc(type, 0);
+  if (!self) return nullptr;
+  self->k = k;
+  self->keys = new std::vector<uint64_t>(1 << 16, kEmpty);
+  self->counts = new std::vector<uint32_t>(1 << 16, 0);
+  self->used = 0;
+  return (PyObject*)self;
+}
+
+// add(seq_blob: bytes, seq_off: bytes(int64[n+1])) — slides canonical
+// (lexicographic-min) k-mers over each read, skipping windows with
+// non-ACGT bases (KMC semantics).
+static PyObject* KmerCounter_add(KmerCounterObject* self, PyObject* args) {
+  Py_buffer blob, off;
+  if (!PyArg_ParseTuple(args, "y*y*", &blob, &off)) return nullptr;
+  const uint8_t* s = (const uint8_t*)blob.buf;
+  const int64_t* o = (const int64_t*)off.buf;
+  Py_ssize_t n_reads = off.len / (Py_ssize_t)sizeof(int64_t) - 1;
+  const int k = self->k;
+  const uint64_t mask = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+
+  Py_BEGIN_ALLOW_THREADS
+  for (Py_ssize_t r = 0; r < n_reads; ++r) {
+    int64_t beg = o[r], end = o[r + 1];
+    uint64_t fwd = 0;
+    int valid_run = 0;
+    for (int64_t i = beg; i < end; ++i) {
+      uint8_t c = kBaseCode[s[i]];
+      if (c > 3) {
+        valid_run = 0;
+        fwd = 0;
+        continue;
+      }
+      fwd = ((fwd >> 2) | ((uint64_t)c << (2 * (k - 1)))) & mask;
+      if (++valid_run >= k) {
+        uint64_t rc = revcomp(fwd, k);
+        uint64_t canon =
+            (lex_value(fwd, k) <= lex_value(rc, k)) ? fwd : rc;
+        counter_add(self, canon);
+      }
+    }
+  }
+  Py_END_ALLOW_THREADS
+
+  PyBuffer_Release(&blob);
+  PyBuffer_Release(&off);
+  Py_RETURN_NONE;
+}
+
+// finalize(count_min, cs) -> (packed_bytes(uint64[n]), counts_bytes(uint32[n]))
+// sorted lexicographically, counts capped at cs.
+static PyObject* KmerCounter_finalize(KmerCounterObject* self,
+                                      PyObject* args) {
+  unsigned int count_min = 2, cs = 65535;
+  if (!PyArg_ParseTuple(args, "|II", &count_min, &cs)) return nullptr;
+
+  std::vector<std::pair<uint64_t, uint32_t>> out;
+  Py_BEGIN_ALLOW_THREADS
+  out.reserve(self->used);
+  for (size_t i = 0; i < self->keys->size(); ++i) {
+    uint64_t key = (*self->keys)[i];
+    if (key == kEmpty) continue;
+    uint32_t c = (*self->counts)[i];
+    if (c < count_min) continue;
+    if (c > cs) c = cs;
+    out.emplace_back(lex_value(key, self->k), c);
+  }
+  std::sort(out.begin(), out.end());
+  Py_END_ALLOW_THREADS
+
+  std::vector<uint64_t> packed(out.size());
+  std::vector<uint32_t> cnts(out.size());
+  for (size_t i = 0; i < out.size(); ++i) {
+    // lex -> packed: reverse of lex_value
+    packed[i] = reverse_bases64(out[i].first << (64 - 2 * self->k));
+    cnts[i] = out[i].second;
+  }
+  return Py_BuildValue(
+      "(y# y#)",
+      (const char*)packed.data(), (Py_ssize_t)(packed.size() * 8),
+      (const char*)cnts.data(), (Py_ssize_t)(cnts.size() * 4));
+}
+
+static PyObject* KmerCounter_size(KmerCounterObject* self, PyObject*) {
+  return PyLong_FromSize_t(self->used);
+}
+
+static PyMethodDef KmerCounter_methods[] = {
+    {"add", (PyCFunction)KmerCounter_add, METH_VARARGS,
+     "Count canonical k-mers of packed reads."},
+    {"finalize", (PyCFunction)KmerCounter_finalize, METH_VARARGS,
+     "Return (packed uint64 bytes, uint32 count bytes) sorted lex."},
+    {"size", (PyCFunction)KmerCounter_size, METH_NOARGS,
+     "Distinct k-mers counted so far."},
+    {nullptr, nullptr, 0, nullptr},
+};
+
+static PyTypeObject KmerCounterType = {
+    PyVarObject_HEAD_INIT(nullptr, 0)
+};
+
+// ------------------------------------------------------------------ module
+
+static PyModuleDef native_module = {
+    PyModuleDef_HEAD_INIT, "_kmerlsh_native",
+    "Native host runtime: FASTQ streaming + k-mer counting", -1,
+    nullptr,
+};
+
+}  // namespace
+
+PyMODINIT_FUNC PyInit__kmerlsh_native(void) {
+  FastqReaderType.tp_name = "_kmerlsh_native.FastqReader";
+  FastqReaderType.tp_basicsize = sizeof(FastqReaderObject);
+  FastqReaderType.tp_dealloc = (destructor)FastqReader_dealloc;
+  FastqReaderType.tp_flags = Py_TPFLAGS_DEFAULT;
+  FastqReaderType.tp_new = FastqReader_new;
+  FastqReaderType.tp_methods = FastqReader_methods;
+  if (PyType_Ready(&FastqReaderType) < 0) return nullptr;
+
+  KmerCounterType.tp_name = "_kmerlsh_native.KmerCounter";
+  KmerCounterType.tp_basicsize = sizeof(KmerCounterObject);
+  KmerCounterType.tp_dealloc = (destructor)KmerCounter_dealloc;
+  KmerCounterType.tp_flags = Py_TPFLAGS_DEFAULT;
+  KmerCounterType.tp_new = KmerCounter_new;
+  KmerCounterType.tp_methods = KmerCounter_methods;
+  if (PyType_Ready(&KmerCounterType) < 0) return nullptr;
+
+  PyObject* m = PyModule_Create(&native_module);
+  if (!m) return nullptr;
+  Py_INCREF(&FastqReaderType);
+  PyModule_AddObject(m, "FastqReader", (PyObject*)&FastqReaderType);
+  Py_INCREF(&KmerCounterType);
+  PyModule_AddObject(m, "KmerCounter", (PyObject*)&KmerCounterType);
+  return m;
+}

@@ -1,0 +1,82 @@
+"""Native C++ extension vs pure-Python equivalence (skipped if unbuilt)."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+native = pytest.importorskip("_kmerlsh_native")
+
+from kmerlsh_tpu.io import fastq, kmc  # noqa: E402
+from kmerlsh_tpu.kmer import codec  # noqa: E402
+
+RNG = np.random.default_rng(11)
+
+
+def rand_seq(n):
+    return "".join(RNG.choice(list("ACGT"), size=n))
+
+
+def test_native_reader_matches_python(tmp_path):
+    seqs = [rand_seq(80) for _ in range(500)]
+    seqs[3] = seqs[3][:20] + "N" + seqs[3][21:]
+    path = str(tmp_path / "r.fastq")
+    with open(path, "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f"@read{i} extra comment\n{s}\n+\n{'F' * len(s)}\n")
+
+    native_reads = [r for part in fastq.read_parts([path], 128) for r in part]
+    python_reads = list(fastq.read_records(path))
+    assert len(native_reads) == len(python_reads) == 500
+    for a, b in zip(native_reads, python_reads):
+        assert (a.name, a.seq, a.qual) == (b.name, b.seq, b.qual)
+
+
+def test_native_reader_gzip_and_fasta(tmp_path):
+    path = str(tmp_path / "r.fa.gz")
+    with gzip.open(path, "wt") as f:
+        f.write(">s1 d\nACGTACGT\nTTTT\n>s2\nGGGG\n")
+    rd = native.FastqReader(path)
+    n, names, noff, seqs, soff, quals, qoff = rd.next_part(10)
+    assert n == 2
+    so = np.frombuffer(soff, dtype="<i8")
+    assert seqs[so[0]:so[1]] == b"ACGTACGTTTTT"
+    assert seqs[so[1]:so[2]] == b"GGGG"
+
+
+@pytest.mark.parametrize("count_min", [1, 2])
+def test_native_counter_matches_python_fallback(tmp_path, count_min):
+    k = 13
+    seqs = [rand_seq(70) for _ in range(200)]
+    seqs[0] = "N" * 70
+    seqs += seqs[:20]
+    path = str(tmp_path / "c.fastq")
+    with open(path, "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f"@r{i}\n{s}\n+\n{'I' * len(s)}\n")
+
+    pk_n, c_n = kmc.count_fastq([path], k, count_min=count_min)
+
+    # force the NumPy fallback path
+    import unittest.mock as mock
+
+    with mock.patch.dict("sys.modules", {"_kmerlsh_native": None}):
+        pk_p, c_p = kmc.count_fastq([path], k, count_min=count_min)
+
+    assert np.array_equal(pk_n, pk_p)
+    assert np.array_equal(c_n, c_p)
+
+
+def test_native_counter_cap_and_lex_order():
+    k = 5
+    counter = native.KmerCounter(k)
+    seq = b"AAAAA" * 100  # 496 occurrences of AAAAA (canonical of itself)
+    off = np.array([0, len(seq)], dtype="<i8")
+    counter.add(seq, off.tobytes())
+    pk, cb = counter.finalize(1, 100)  # cap at 100
+    packed = np.frombuffer(pk, dtype="<u8")
+    counts = np.frombuffer(cb, dtype="<u4")
+    assert codec.decode(packed[0], k) == "AAAAA"
+    assert counts[0] == 100
+    lex = codec.lex_value(packed, k)
+    assert np.all(np.diff(lex.astype(np.int64)) > 0)
