@@ -59,6 +59,33 @@ def read_cluster(
     return values, ids_list
 
 
+def save_matrix(
+    values: np.ndarray, ids_list: list[np.ndarray], path: str,
+    append: bool = False, ignore_small: int = 0,
+) -> None:
+    """Tab-separated text centroid rows (= SaveMatrix, ioMatrix.cc:297-320)."""
+    values = np.asarray(values)
+    with open(path, "a" if append else "w") as f:
+        for v, ids in zip(values, ids_list):
+            if len(ids) > ignore_small:
+                f.write("\t".join(repr(float(x)) for x in v) + "\n")
+
+
+def read_matrix(path: str) -> tuple[np.ndarray, list[np.ndarray]]:
+    """Text abundance matrix → rows + singleton id lists (= ReadMatrix,
+    ioMatrix.cc:201-263; comment lines '#' and a leading tab header line
+    are skipped)."""
+    rows: list[np.ndarray] = []
+    with open(path) as f:
+        for line in f:
+            if not line.strip() or line[0] == "#" or line[0] == "\t":
+                continue
+            rows.append(np.asarray(line.split(), dtype=np.float32))
+    values = np.stack(rows) if rows else np.zeros((0, 0), np.float32)
+    ids_list = [np.array([i], dtype=np.uint64) for i in range(len(rows))]
+    return values, ids_list
+
+
 def _read_clust(
     path: str, start_line: int = 0, num_lines: int | None = None
 ) -> list[np.ndarray]:

@@ -30,6 +30,23 @@ def draw_hyperplanes(rng: jax.Array, num_samples: int) -> jax.Array:
     return jax.random.normal(rng, (num_samples, H_MAX + 1), dtype=jnp.float32)
 
 
+def p_stable_signatures(
+    values: jax.Array, hyperplanes: jax.Array, h: jax.Array,
+    b: float = 0.0, r: float = 1.0,
+):
+    """p-stable LSH buckets ⌊(x·a + b)/r⌋ per hyperplane (int32 [M, H_MAX]).
+
+    Completeness port of ``LSH::p_stable`` (hash/lshash.cc:62-75) — present
+    but never called in the reference; provided for Euclidean-bucket use
+    cases. Columns ≥ h are zeroed.
+    """
+    p = jnp.dot(values, hyperplanes[:, :H_MAX],
+                preferred_element_type=jnp.float32)
+    q = jnp.floor((p + b) / r).astype(jnp.int32)
+    i = jnp.arange(H_MAX, dtype=jnp.int32)
+    return jnp.where(i[None, :] < h, q, 0)
+
+
 def signatures(values: jax.Array, hyperplanes: jax.Array, h: jax.Array):
     """values f32 [M, S]; hyperplanes [S, H_MAX+1]; h dynamic scalar ≤ H_MAX.
 

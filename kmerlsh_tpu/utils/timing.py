@@ -38,6 +38,19 @@ class Stages:
             print(f"[metric] {name}: {value}")
 
 
+def host_memory_kb() -> int:
+    """VmSize of this process in KB (= ``IOMat::getValue``,
+    io/ioMatrix.cc:15-29)."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmSize:"):
+                    return int(line.split()[1])
+    except OSError:
+        pass
+    return -1
+
+
 def device_memory_stats() -> dict:
     """Best-effort live device memory, the analog of the VmSize probe."""
     try:

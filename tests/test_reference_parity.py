@@ -1,0 +1,138 @@
+"""Golden parity tests against the actual reference binary.
+
+The reference kmerLSH is built from /root/reference (session-cached in
+/tmp/kmerlsh_refbuild) and cross-fed with this framework's artifacts:
+
+  * stage B parity — the reference ingests KMC databases written by OUR
+    writer; its kmer_count.bin/. log/. hex must describe the exact same
+    {canonical k-mer → per-sample count} mapping as ours (row orders differ
+    by design: cuckoo iteration vs sorted — we join on k-mer identity);
+  * mode E parity — both sides run the t-test + read extraction from the
+    SAME artifacts (count matrix + cluster file), which is fully
+    deterministic; extracted read sets must be identical.
+
+Skipped when the reference tree or a C++ toolchain is unavailable.
+"""
+
+import os
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+from kmerlsh_tpu import testdata
+from kmerlsh_tpu.config import HyperParams
+from kmerlsh_tpu.io import counts as countsio, kmc as kmcio
+from kmerlsh_tpu.kmer import codec
+from kmerlsh_tpu.pipeline import kmer_cluster
+
+REF_SRC = "/root/reference"
+REF_BUILD = "/tmp/kmerlsh_refbuild"
+K = 15
+
+
+@pytest.fixture(scope="session")
+def ref_binary():
+    if not os.path.isdir(REF_SRC) or shutil.which("g++") is None:
+        pytest.skip("reference tree or toolchain unavailable")
+    binary = os.path.join(REF_BUILD, "kmerLSH")
+    if not os.path.exists(binary):
+        shutil.copytree(REF_SRC, REF_BUILD, dirs_exist_ok=True)
+        r = subprocess.run(["make", "-j4"], cwd=REF_BUILD, capture_output=True)
+        if r.returncode != 0:
+            pytest.skip(f"reference build failed: {r.stderr[-500:]}")
+    return binary
+
+
+@pytest.fixture()
+def workload(tmp_path):
+    """Synthetic data + our KMC databases + our stage-B artifacts."""
+    m = testdata.generate(str(tmp_path / "data"), seed=77)
+    names = []
+    for group in ("A", "B"):
+        with open(m["lists"][group]) as f:
+            for line in f:
+                fq, db = line.split()
+                packed, cnts = kmcio.count_fastq([fq], K, count_min=2)
+                kmcio.write_db_kmc1(db, packed, cnts, K)
+                names.append(db)
+    kmap, v_kmers = countsio.build_count_matrix(names, K, str(tmp_path))
+    return m, names, kmap, tmp_path
+
+
+def run_ref(binary, cwd, m, extra):
+    cmd = [binary, "-a", m["lists"]["A"], "-b", m["lists"]["B"],
+           "-o", str(cwd / "refA"), "-p", str(cwd / "refB"), "-K", str(K)] + extra
+    r = subprocess.run(cmd, cwd=cwd, capture_output=True, text=True,
+                       timeout=600)
+    assert r.returncode == 0, r.stderr[-800:] + r.stdout[-800:]
+    return r
+
+
+def test_stage_b_parity(ref_binary, workload):
+    m, names, kmap, tmp_path = workload
+    refdir = tmp_path / "refwork"
+    refdir.mkdir()
+    run_ref(ref_binary, refdir, m, ["-M", "B", "--only"])
+
+    # reference row order (cuckoo) from its kmer_set.hex
+    ref_keys = countsio.read_hex(str(refdir / "kmer_set.hex"))
+    ref_kmap, ref_covs = countsio.read_log(str(refdir / "kmer_count.log"))
+    my_keys = countsio.read_hex(str(tmp_path / "kmer_set.hex"))
+    my_kmap, my_covs = countsio.read_log(str(tmp_path / "kmer_count.log"))
+
+    assert ref_kmap == my_kmap == kmap
+    assert np.array_equal(np.sort(ref_keys), my_keys)  # same k-mer SET
+
+    S = len(names)
+    ref_mat = countsio.read_count_batch(str(refdir / "kmer_count.bin"),
+                                        S, kmap, 0, kmap)
+    my_mat = countsio.read_count_batch(str(tmp_path / "kmer_count.bin"),
+                                       S, kmap, 0, kmap)
+    # join on k-mer identity: reorder reference columns into sorted order
+    perm = np.argsort(ref_keys, kind="stable")
+    assert np.array_equal(ref_mat[:, perm], my_mat)
+
+    # coverages: float32 accumulation in the reference vs float64 here
+    for rc, mc in zip(ref_covs, my_covs):
+        assert rc == pytest.approx(mc, rel=1e-4)
+
+
+def test_mode_e_parity(ref_binary, workload):
+    m, names, kmap, tmp_path = workload
+    # produce ONE clustering result with our pipeline (deterministic), then
+    # run mode E on those artifacts with both implementations
+    p = HyperParams(
+        input1=m["lists"]["A"], input2=m["lists"]["B"],
+        output1=str(tmp_path / "myA"), output2=str(tmp_path / "myB"),
+        clust_file_name=str(tmp_path / "clust.txt"),
+        tmp_dir=str(tmp_path / "tmp"), work_dir=str(tmp_path),
+        k=K, cluster_iteration=10, min_similarity=0.85, size_thresh=20,
+        kmc=False, bin=False, clustering=True, extracting=True, seed=3,
+    )
+    kmer_cluster(p)
+
+    # reference mode E needs kmer artifacts + cluster file in its CWD
+    refdir = tmp_path / "refE"
+    refdir.mkdir()
+    for f in ("kmer_set.hex", "kmer_count.bin", "kmer_count.log"):
+        shutil.copy(tmp_path / f, refdir / f)
+    shutil.copy(str(tmp_path / "clust.txt"), refdir / "clust.txt")
+    shutil.copy(str(tmp_path / "clust.txt.clust"), refdir / "clust.txt.clust")
+    run_ref(ref_binary, refdir, m,
+            ["-M", "E", "--only", "-F", "clust.txt", "-S", "20", "-P", "0.01",
+             "-V", "0.5", "-T", "2"])
+
+    from kmerlsh_tpu.io import fastq as fastqio
+
+    for group, prefix in (("A", "refA"), ("B", "refB")):
+        for fq in m["samples"][group]:
+            base = os.path.basename(fq)
+            ref_out = str(refdir / f"{prefix}_{base}")
+            my_out = str(tmp_path / f"my{group}_{base}")
+            ref_reads = {(r.name, r.seq) for r in fastqio.read_records(ref_out)}
+            my_reads = {(r.name, r.seq) for r in fastqio.read_records(my_out)}
+            assert ref_reads == my_reads, (
+                f"{base}: {len(ref_reads)} ref vs {len(my_reads)} mine")
+            assert len(my_reads) > 0
