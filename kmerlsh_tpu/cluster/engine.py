@@ -52,7 +52,10 @@ from kmerlsh_tpu.ops import lsh, segment
 
 BIG_KEY = 2**31 - 1  # sentinel: dead slots sort to the end
 
-DEFAULT_CHUNK = 8  # LSH iterations fused into one lax.scan program
+DEFAULT_CHUNK = 8   # iterations fused per program at large capacities
+SMALL_CAP = 1 << 16
+SMALL_CHUNK = 32    # at small capacities, fuse more: dispatch latency
+                    # dominates over the (tiny) per-iteration compute
 
 
 def pairing_merge(
@@ -314,12 +317,13 @@ def cluster(
     it = 0
     n_alive = n
     while it < iterations:
-        c = min(chunk, iterations - it)
         # pad to a fixed chunk length with an unreachable threshold (>1 ⇒
-        # no merges): at most two compiled programs per capacity (C=1 for
-        # single-iteration phases, C=chunk otherwise), and no wasted no-op
-        # hash+sort passes when only one real iteration remains
-        c_prog = 1 if c == 1 else chunk
+        # no merges): at most a few compiled programs per capacity (C=1 for
+        # single-iteration phases, C=chunk / C=SMALL_CHUNK otherwise), and
+        # no wasted no-op hash+sort passes when only one iteration remains
+        c_cap = SMALL_CHUNK if cap <= SMALL_CAP else chunk
+        c = min(c_cap, iterations - it)
+        c_prog = 1 if c == 1 else c_cap
         thr = np.full(c_prog, 9.0, np.float32)
         thr[:c] = thresholds[it : it + c]
         jvals, jsizes, mi, na = _lsh_cluster_chunk(
@@ -334,8 +338,12 @@ def cluster(
             print(f"[tpu] iter {it}: {n_alive} clusters, "
                   f"threshold {thresholds[min(it, iterations - 1)]:.4f}")
 
+        # compact only while capacities are large: shrinking the sort from
+        # 2^20 to 2^16 pays for itself; below SMALL_CAP the extra dispatch
+        # round trips cost more than the smaller sorts save
         new_cap = _pad_capacity(n_alive)
-        if n_alive < compact_below * cap and new_cap < cap:
+        if (it < iterations and cap > SMALL_CAP
+                and n_alive < compact_below * cap and new_cap < cap):
             order = _compact_order(jsizes)
             perm = np.asarray(order)
             jvals, jsizes = _gather_slice(jvals, jsizes, order, new_cap)
