@@ -76,7 +76,8 @@ def run_tpu(work: str) -> float:
         return time.perf_counter() - t0
 
     once("warmup")  # compile + cache population, untimed
-    return once("timed")
+    # min over repeats: the tunnel/host introduces large one-sided noise
+    return min(once("timed1"), once("timed2"))
 
 
 def run_reference(work: str) -> float | None:
@@ -88,13 +89,17 @@ def run_reference(work: str) -> float | None:
             subprocess.run(["make", "-j4"], cwd=REF_BUILD, check=True,
                            capture_output=True, timeout=1200)
         os.makedirs(os.path.join(work, "tmp"), exist_ok=True)
-        t0 = time.perf_counter()
-        subprocess.run(
-            [binary, "-a", "l1", "-b", "l2", "-o", "oA", "-p", "oB",
-             "-M", "C", "--only", "-I", str(ITERATIONS), "-N", str(MIN_SIM),
-             "-T", "12", "-F", "ref_result.txt"],
-            cwd=work, check=True, capture_output=True, timeout=3600)
-        return time.perf_counter() - t0
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            subprocess.run(
+                [binary, "-a", "l1", "-b", "l2", "-o", "oA", "-p", "oB",
+                 "-M", "C", "--only", "-I", str(ITERATIONS),
+                 "-N", str(MIN_SIM), "-T", "12", "-F", "ref_result.txt"],
+                cwd=work, check=True, capture_output=True, timeout=3600)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
     except Exception as e:
         print(f"# reference baseline unavailable: {e}", file=sys.stderr)
         return None

@@ -67,23 +67,31 @@ def pairing_merge(
     rounds: int,
     merged_into: jax.Array | None = None,  # i32 [M] accumulator (-1 = alive)
     h: jax.Array | None = None,  # i32 scalar: bits used by ``keys``
+    cur_slot: jax.Array | None = None,  # i32 [M] position → stable slot id
+    unsort: bool = True,
 ):
     """R vectorized pairing-merge rounds over key segments (traceable core,
     shared by the single-chip and shard_map paths).
 
-    Returns (values, sizes, merged_into) where ``merged_into[slot]`` is the
-    slot that absorbed ``slot`` (-1 while alive). Chains compose across
-    calls when the accumulator is threaded through.
+    With ``unsort=True`` (default) arrays come back in input slot order and
+    ``merged_into[slot]`` names the slot that absorbed ``slot`` (-1 while
+    alive). With ``unsort=False`` arrays stay in sorted position order and
+    a 4th output ``cur_slot`` (position → stable slot id) is returned
+    instead of paying an inverse-permutation sort — the chunked scan
+    threads it through and the host unpermutes once per chunk.
+
+    Cost profile (deliberate): ONE argsort per call; per round only
+    cumsum/cummax/cummin scans, gathers, and elementwise math. No scatters
+    (XLA:TPU lowers them poorly), no per-round sorts, no associative_scan
+    pairs.
     """
     m = values.shape[0]
     big = jnp.int32(BIG_KEY)
     if merged_into is None:
         merged_into = jnp.full((m,), -1, jnp.int32)
+    if cur_slot is None:
+        cur_slot = jnp.arange(m, dtype=jnp.int32)
 
-    # NOTE: this function is deliberately scatter-free — XLA:TPU lowers
-    # arbitrary-index scatters very poorly, so every indexed write is
-    # re-expressed as an argsort (fast on TPU) or a symmetric gather where
-    # each element computes its own fate.
     if h is None:
         order = jnp.lexsort((proj, keys))
     else:
@@ -103,42 +111,48 @@ def pairing_merge(
     skey = keys[order]
     sval = values[order]
     ssize = sizes[order]
-    sslot = order.astype(jnp.int32)
+    scs = cur_slot[order]
     smi = merged_into[order]
 
     starts = segment.segment_starts(skey)
     valid_seg = skey != big
     seg_id = jnp.cumsum(starts.astype(jnp.int32))
     pos = jnp.arange(m, dtype=jnp.int32)
+    # position of each element's segment start (cummax; starts[0] is True)
+    seg_pos = jax.lax.cummax(jnp.where(starts, pos, jnp.int32(0)))
 
     for r in range(rounds):
         alive = (ssize > 0) & valid_seg
         a = alive.astype(jnp.int32)
-        g = jnp.cumsum(a) - 1  # global alive rank (dense, segment-contiguous)
-        n_alive = jnp.sum(a)
-        rank = segment.alive_rank_in_segment(alive, starts)
+        alive_before = jnp.cumsum(a) - a  # alive strictly before position
+        # rank among alive within segment (valid where alive)
+        rank = alive_before - alive_before[seg_pos]
 
-        # pos_of_g[j] = position of the j-th alive element: alive elements
-        # in position order ARE in global-rank order, so a stable argsort
-        # of the dead-mask compacts them (no scatter needed)
-        pos_of_g = jnp.argsort(jnp.where(alive, 0, 1), stable=True).astype(
-            jnp.int32)
+        # nearest alive neighbors by position: within a segment, position
+        # order among alive IS rank order, so these are the rank±1 partners
+        nxt = jax.lax.cummin(jnp.where(alive, pos, jnp.int32(m)),
+                             reverse=True)
+        next_after = jnp.concatenate(
+            [nxt[1:], jnp.full((1,), m, jnp.int32)])
+        prv = jax.lax.cummax(jnp.where(alive, pos, jnp.int32(-1)))
+        prev_before = jnp.concatenate(
+            [jnp.full((1,), -1, jnp.int32), prv[:-1]])
 
         ph = r % 2
         role_left = alive & (rank >= ph) & ((rank - ph) % 2 == 0)
         role_right = alive & (rank >= ph + 1) & ((rank - ph) % 2 == 1)
 
-        # each element gathers its own partner; sims are computed on both
-        # sides with identical reduction order, so the left/right decisions
-        # agree bitwise
-        p_left = pos_of_g[jnp.clip(g + 1, 0, m - 1)]   # right partner of a left
-        p_right = pos_of_g[jnp.clip(g - 1, 0, m - 1)]  # left partner of a right
-        partner = jnp.where(role_left, p_left, p_right)
+        partner = jnp.where(role_left, next_after, prev_before)
+        pc = jnp.clip(partner, 0, m - 1)
         partner_ok = (
-            (role_left & (g + 1 < n_alive)) | (role_right & (g >= 1))
-        ) & (seg_id[jnp.clip(partner, 0, m - 1)] == seg_id)
-        partner = jnp.where(partner_ok, partner, pos)
+            (role_left | role_right)
+            & (partner >= 0) & (partner < m)
+            & (seg_id[pc] == seg_id)
+        )
+        partner = jnp.where(partner_ok, pc, pos)
 
+        # each element gathers its own partner; sims are computed on both
+        # sides with identical reduction order, so left/right agree bitwise
         pv = sval[partner]
         ps = ssize[partner]
         dot = jnp.sum(sval * pv, axis=1)
@@ -159,33 +173,44 @@ def pairing_merge(
         )
         ssize = jnp.where(win, ssize + ps, ssize)
         ssize = jnp.where(lose, 0, ssize)
-        smi = jnp.where(lose, sslot[partner], smi)
+        smi = jnp.where(lose, scs[partner], smi)
 
+    if not unsort:
+        return sval, ssize, smi, scs
     inv = jnp.argsort(order).astype(jnp.int32)
     return sval[inv], ssize[inv], smi[inv]
 
 
-def _one_iteration(values, sizes, rng, threshold, rounds, merged_into):
-    """One LSH iteration with h = ⌊log2 n_alive⌋ computed in-graph."""
+def _active_h(sizes):
     n_alive = jnp.maximum(jnp.sum((sizes > 0).astype(jnp.int32)), 2)
-    h = jnp.clip(
+    return jnp.clip(
         jnp.floor(jnp.log2(n_alive.astype(jnp.float32))).astype(jnp.int32),
         1, lsh.H_MAX,
     )
+
+
+def _one_iteration(values, sizes, rng, threshold, rounds, merged_into,
+                   cur_slot):
+    """One LSH iteration with h = ⌊log2 n_alive⌋ computed in-graph; state
+    stays in sorted position order (cur_slot tracks stable slot ids)."""
+    h = _active_h(sizes)
     hyper = lsh.draw_hyperplanes(rng, values.shape[1])
     keys, proj = lsh.signatures(values, hyper, h)
     keys = jnp.where(sizes > 0, keys, jnp.int32(BIG_KEY))
     return pairing_merge(values, sizes, keys, proj, threshold, rounds,
-                         merged_into, h=h)
+                         merged_into, h=h, cur_slot=cur_slot, unsort=False)
 
 
 @partial(jax.jit, static_argnames=("rounds",), donate_argnums=(0, 1))
 def _lsh_merge_iteration(values, sizes, rng, h, threshold, rounds: int = 4):
-    """Single-iteration entry (kept for the compile-check / bench paths;
+    """Single-iteration slot-stable entry (compile-check / bench paths;
     ``h`` is accepted for signature stability but recomputed in-graph)."""
     del h
-    return _one_iteration(values, sizes, rng, threshold, rounds,
-                          jnp.full((values.shape[0],), -1, jnp.int32))
+    hh = _active_h(sizes)
+    hyper = lsh.draw_hyperplanes(rng, values.shape[1])
+    keys, proj = lsh.signatures(values, hyper, hh)
+    keys = jnp.where(sizes > 0, keys, jnp.int32(BIG_KEY))
+    return pairing_merge(values, sizes, keys, proj, threshold, rounds, h=hh)
 
 
 @partial(jax.jit, static_argnames=("rounds",), donate_argnums=(0, 1))
@@ -193,23 +218,30 @@ def _lsh_cluster_chunk(values, sizes, base_rng, iter_offset, thresholds,
                        rounds: int = 4):
     """Run ``len(thresholds)`` LSH iterations as one ``lax.scan`` program.
 
-    Returns (values, sizes, merged_into, n_alive): one composed merge map
-    for the whole chunk (each slot dies at most once per run)."""
+    State lives in permuted position order across iterations (no inverse
+    sorts); ``cur_slot`` maps final positions back to the chunk-entry slot
+    ids. Returns (values, sizes, merged_into, cur_slot, n_alive):
+    ``merged_into`` is position-aligned, its values are chunk-entry slot
+    ids of the absorbing cluster (one composed map — each slot dies at
+    most once per chunk)."""
     m = values.shape[0]
 
     def body(carry, x):
-        values, sizes, mi = carry
+        values, sizes, mi, cs = carry
         thr, it = x
         rng = jax.random.fold_in(base_rng, it)
-        values, sizes, mi = _one_iteration(values, sizes, rng, thr, rounds, mi)
-        return (values, sizes, mi), ()
+        values, sizes, mi, cs = _one_iteration(
+            values, sizes, rng, thr, rounds, mi, cs)
+        return (values, sizes, mi, cs), ()
 
     its = iter_offset + jnp.arange(len(thresholds), dtype=jnp.int32)
-    (values, sizes, mi), _ = jax.lax.scan(
-        body, (values, sizes, jnp.full((m,), -1, jnp.int32)),
+    (values, sizes, mi, cs), _ = jax.lax.scan(
+        body,
+        (values, sizes, jnp.full((m,), -1, jnp.int32),
+         jnp.arange(m, dtype=jnp.int32)),
         (thresholds, its))
     n_alive = jnp.sum((sizes > 0).astype(jnp.int32))
-    return values, sizes, mi, n_alive
+    return values, sizes, mi, cs, n_alive
 
 
 @jax.jit
@@ -326,12 +358,15 @@ def cluster(
         c_prog = 1 if c == 1 else c_cap
         thr = np.full(c_prog, 9.0, np.float32)
         thr[:c] = thresholds[it : it + c]
-        jvals, jsizes, mi, na = _lsh_cluster_chunk(
+        jvals, jsizes, mi, cs, na = _lsh_cluster_chunk(
             jvals, jsizes, root_rng, jnp.int32(it), jnp.asarray(thr), rounds)
         mi = np.asarray(mi)
-        losers = np.flatnonzero(mi >= 0)
-        winners = mi[losers]
-        forest.apply_events(slot_row[winners], slot_row[losers])
+        cs = np.asarray(cs)
+        losers_pos = np.flatnonzero(mi >= 0)
+        # mi values are chunk-entry slot ids; positions map via cur_slot
+        forest.apply_events(slot_row[mi[losers_pos]],
+                            slot_row[cs[losers_pos]])
+        slot_row = slot_row[cs]  # re-align host map to permuted positions
         n_alive = int(na)
         it += c
         if verbose:
