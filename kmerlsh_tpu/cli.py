@@ -65,6 +65,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="out-of-core batch size in k-mer rows")
     p.add_argument("--merge-rounds", type=int, default=d.merge_rounds,
                    help="pairing-merge rounds per LSH iteration (tpu engine)")
+    p.add_argument("--trace-dir", default="",
+                   help="write a jax.profiler trace of the run here")
     return p
 
 
@@ -80,6 +82,7 @@ def params_from_args(argv: list[str]) -> HyperParams:
         pval_thresh=a.pval_thresh, kmer_vote=a.kmer_vote,
         verbose=a.verbose, seed=a.seed, engine=a.engine,
         batch_thresh=a.batch_thresh, merge_rounds=a.merge_rounds,
+        trace_dir=a.trace_dir,
     )
     params.apply_mode(a.mode, a.only)
     if params.k > 31:
@@ -94,8 +97,17 @@ def main(argv: list[str] | None = None) -> None:
         for field, val in vars(params).items():
             print(f"{field}: {val}")
         print("**********************************************************")
+    import contextlib
+
+    if params.trace_dir:
+        import jax
+
+        ctx = jax.profiler.trace(params.trace_dir)
+    else:
+        ctx = contextlib.nullcontext()
     try:
-        stages = kmer_cluster(params)
+        with ctx:
+            stages = kmer_cluster(params)
     except FileNotFoundError as e:
         sys.exit(f"error: {e.filename or e}: no such file")
     total = sum(stages.times.values())

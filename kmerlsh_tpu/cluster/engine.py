@@ -306,6 +306,8 @@ def cluster(
     chunk: int = DEFAULT_CHUNK,
     compact_below: float = 0.5,
     verbose: bool = False,
+    thresholds: np.ndarray | None = None,
+    init_rounds: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray, list[np.ndarray]]:
     """Cluster rows of ``values`` [N, S] with the annealed-threshold LSH loop
     (0.95 → min_similarity over ``iterations``, cluster.cc:190-192,330).
@@ -343,12 +345,42 @@ def cluster(
     slot_row[:n] = np.arange(n)
     root_rng = jax.random.PRNGKey(seed)
 
-    sim_step = (0.95 - min_similarity) / iterations
-    thresholds = (0.95 - sim_step * np.arange(iterations)).astype(np.float32)
+    if thresholds is None:
+        sim_step = (0.95 - min_similarity) / iterations
+        thresholds = (0.95 - sim_step * np.arange(iterations)).astype(
+            np.float32)
+    else:
+        thresholds = np.asarray(thresholds, np.float32)
+        iterations = len(thresholds)
 
     it = 0
     n_alive = n
     while it < iterations:
+        if init_rounds is not None and it == 0:
+            # first iteration gets its own deep-round single-iteration
+            # program: log-depth rounds substitute for the reference's full
+            # greedy bucket collapse on the raw rows
+            jvals, jsizes, mi, cs, na = _lsh_cluster_chunk(
+                jvals, jsizes, root_rng, jnp.int32(0),
+                jnp.asarray(thresholds[:1]), init_rounds)
+            mi, cs = np.asarray(mi), np.asarray(cs)
+            losers_pos = np.flatnonzero(mi >= 0)
+            forest.apply_events(slot_row[mi[losers_pos]],
+                                slot_row[cs[losers_pos]])
+            slot_row = slot_row[cs]
+            n_alive = int(na)
+            it = 1
+            if verbose:
+                print(f"[tpu] iter 1 (deep): {n_alive} clusters")
+            new_cap = _pad_capacity(n_alive)
+            if (cap > SMALL_CAP and n_alive < compact_below * cap
+                    and new_cap < cap):
+                order = _compact_order(jsizes)
+                perm = np.asarray(order)
+                jvals, jsizes = _gather_slice(jvals, jsizes, order, new_cap)
+                slot_row = slot_row[perm][:new_cap]
+                cap = new_cap
+            continue
         # pad to a fixed chunk length with an unreachable threshold (>1 ⇒
         # no merges): at most a few compiled programs per capacity (C=1 for
         # single-iteration phases, C=chunk / C=SMALL_CHUNK otherwise), and

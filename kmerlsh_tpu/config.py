@@ -53,6 +53,7 @@ class HyperParams:
     engine: str = "tpu"           # "tpu" (device pairing-merge) | "greedy" (host)
     merge_rounds: int = 4         # pairing-merge rounds per LSH iteration
     ignore_small: int = 5         # final save drops clusters of size <= 5
+    trace_dir: str = ""           # write a jax.profiler trace here if set
 
     def apply_mode(self, mode: str, only: bool) -> None:
         """Reference mode-matrix semantics (app/kmerLSH.cc:241-275)."""

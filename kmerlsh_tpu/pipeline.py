@@ -45,9 +45,14 @@ def _cluster_fn(params: HyperParams):
         from kmerlsh_tpu.cluster import engine
 
         def run(values, sizes, iterations, min_similarity, seed):
+            # single-iteration batch passes mirror the reference's full
+            # greedy bucket collapse (cluster.cc:56-87) with extra pairing
+            # rounds: log-depth, no re-sort, so 16 rounds ≈ one greedy pass
+            rounds = max(params.merge_rounds, 16) if iterations == 1 \
+                else params.merge_rounds
             return engine.cluster(
                 values, sizes=sizes, min_similarity=min_similarity,
-                iterations=iterations, seed=seed, rounds=params.merge_rounds,
+                iterations=iterations, seed=seed, rounds=rounds,
                 verbose=params.verbose)
 
     return run
@@ -136,6 +141,38 @@ def init_clustering(
     return clusterio.read_cluster_all(write_path, S)
 
 
+def _fused_single_batch(
+    params: HyperParams, kmap_size: int, v_kmers: list[float], stages: Stages,
+) -> tuple[np.ndarray, list[np.ndarray]]:
+    """Single-batch mode C entirely on device: transform → one deep init
+    iteration at 0.95 → the I-step anneal, in one engine session."""
+    import jax.numpy as jnp
+
+    from kmerlsh_tpu.cluster import engine
+
+    bin_path = os.path.join(params.work_dir, countsio.BIN_NAME)
+    S = len(v_kmers)
+    v = np.asarray(v_kmers, np.float32)
+    with stages.stage("read_batch"):
+        cmat = countsio.read_count_batch(bin_path, S, kmap_size, 0, kmap_size)
+    with stages.stage("transform"):
+        jvalues, keep = transform.abundance_transform(cmat, v)
+    sizes = keep.astype(jnp.int32)
+
+    i = params.cluster_iteration
+    sim_step = (0.95 - params.min_similarity) / i
+    schedule = np.concatenate([
+        [0.95],                                   # init pass (kmerLSH.cc:487)
+        0.95 - sim_step * np.arange(i),           # final anneal
+    ]).astype(np.float32)
+    cents, _, groups = engine.cluster(
+        jvalues, sizes, seed=params.seed, rounds=params.merge_rounds,
+        thresholds=schedule, init_rounds=max(params.merge_rounds, 16),
+        verbose=params.verbose)
+    final_ids = [np.sort(g).astype(np.uint64) for g in groups]
+    return cents, final_ids
+
+
 def kmer_cluster(params: HyperParams) -> Stages:
     """Full pipeline driver (= ``kmerCluster``, app/kmerLSH.cc:432-603)."""
     from kmerlsh_tpu.utils.jaxcache import enable_compilation_cache
@@ -171,15 +208,26 @@ def kmer_cluster(params: HyperParams) -> Stages:
             kmap_size, covs = countsio.read_log(
                 os.path.join(params.work_dir, countsio.LOG_NAME))
             v_kmers = [c / kmap_size for c in covs]
-        with stages.stage("C_init_clustering"):
-            values, ids_list = init_clustering(params, kmap_size, v_kmers, stages)
-        sizes = np.asarray([len(x) for x in ids_list], np.int32)
-        with stages.stage("C_cluster"):
-            cents, _, groups = _cluster_fn(params)(
-                values, sizes, params.cluster_iteration,
-                params.min_similarity, params.seed + 10_000)
-        final_ids = [np.sort(np.concatenate([ids_list[i] for i in g]))
-                     for g in groups]
+        if params.engine == "tpu" and kmap_size <= params.batch_thresh:
+            # fused fast path: the whole matrix fits one batch, so the init
+            # pass (1 deep iteration at 0.95) and the final anneal run as a
+            # single on-device session — no tmp round trip, no re-upload.
+            # (Divergence: tmp/0.bin is not written on this path; mode-C
+            # restarts read kmer_count.bin, never tmp files.)
+            with stages.stage("C_cluster"):
+                cents, final_ids = _fused_single_batch(
+                    params, kmap_size, v_kmers, stages)
+        else:
+            with stages.stage("C_init_clustering"):
+                values, ids_list = init_clustering(
+                    params, kmap_size, v_kmers, stages)
+            sizes = np.asarray([len(x) for x in ids_list], np.int32)
+            with stages.stage("C_cluster"):
+                cents, _, groups = _cluster_fn(params)(
+                    values, sizes, params.cluster_iteration,
+                    params.min_similarity, params.seed + 10_000)
+            final_ids = [np.sort(np.concatenate([ids_list[i] for i in g]))
+                         for g in groups]
         with stages.stage("C_save"):
             clusterio.save_result(final_ids, clust_path + ".clust",
                                   ignore_small=params.ignore_small)
