@@ -181,6 +181,87 @@ def pairing_merge(
     return sval[inv], ssize[inv], smi[inv]
 
 
+def chain_collapse(
+    values: jax.Array,   # f32 [M, S]
+    sizes: jax.Array,    # i32 [M]  (0 = dead slot)
+    keys: jax.Array,     # i32 [M] bucket keys (BIG_KEY for dead slots)
+    proj: jax.Array,     # f32 [M] secondary ordering projection
+    threshold: jax.Array,
+    merged_into: jax.Array | None = None,
+    cur_slot: jax.Array | None = None,
+    h: jax.Array | None = None,
+):
+    """Single-pass full bucket collapse: consecutive sorted elements whose
+    neighbor cosine ≥ threshold chain together; each chain collapses to its
+    head with the exact size-weighted mean (computed as cumulative-sum
+    differences — weights are integer-exact, value sums are one f32 prefix
+    pass). This is the TPU analog of the reference's one greedy sweep over
+    a bucket (p_cluster, cluster.cc:56-87): O(1) passes instead of O(b)
+    rounds, used for the deep init iteration where buckets are rawest.
+
+    Same output contract as ``pairing_merge(unsort=False)``.
+    """
+    m = values.shape[0]
+    big = jnp.int32(BIG_KEY)
+    if merged_into is None:
+        merged_into = jnp.full((m,), -1, jnp.int32)
+    if cur_slot is None:
+        cur_slot = jnp.arange(m, dtype=jnp.int32)
+
+    free = jnp.clip(30 - h, 0, 29)
+    levels = jnp.left_shift(jnp.int32(1), free)
+    pmin = jnp.min(proj)
+    span = jnp.maximum(jnp.max(proj) - pmin, 1e-20)
+    q = jnp.clip(((proj - pmin) / span * levels.astype(jnp.float32))
+                 .astype(jnp.int32), 0, levels - 1)
+    combined = jnp.where(keys == big, jnp.int32(2**31 - 1),
+                         jnp.left_shift(keys, free) | q)
+    order = jnp.argsort(combined, stable=True).astype(jnp.int32)
+
+    skey = keys[order]
+    sval = values[order]
+    ssize = sizes[order]
+    scs = cur_slot[order]
+    smi = merged_into[order]
+
+    starts = segment.segment_starts(skey)
+    alive = (ssize > 0) & (skey != big)
+    pos = jnp.arange(m, dtype=jnp.int32)
+
+    # neighbor similarity with the previous position (all alive elements of
+    # a segment are contiguous: dead slots all carry BIG keys)
+    prev_v = jnp.concatenate([sval[:1], sval[:-1]])
+    dot = jnp.sum(sval * prev_v, axis=1)
+    nn = jnp.sqrt(jnp.sum(sval * sval, axis=1)
+                  * jnp.sum(prev_v * prev_v, axis=1))
+    sim = dot / jnp.where(nn > 0, nn, 1.0)
+    prev_alive = jnp.concatenate([jnp.zeros(1, bool), alive[:-1]])
+    link = alive & prev_alive & (~starts) & (sim >= threshold)
+    head = alive & ~link
+
+    # chain span sums via prefix differences (weights int-exact)
+    w = ssize
+    w_cum = jnp.cumsum(w)
+    wv_cum = jnp.cumsum(sval * w[:, None].astype(jnp.float32), axis=0)
+    head_pos = jax.lax.cummax(jnp.where(head, pos, jnp.int32(0)))
+    nx = jax.lax.cummin(jnp.where(head, pos, jnp.int32(m)), reverse=True)
+    next_head = jnp.concatenate([nx[1:], jnp.full((1,), m, jnp.int32)])
+    end = jnp.clip(next_head - 1, 0, m - 1)
+
+    w_lo = jnp.where(pos > 0, w_cum[jnp.clip(pos - 1, 0, m - 1)], 0)
+    W = w_cum[end] - w_lo
+    wv_lo = jnp.where((pos > 0)[:, None],
+                      wv_cum[jnp.clip(pos - 1, 0, m - 1)], 0.0)
+    centroid = (wv_cum[end] - wv_lo) / jnp.maximum(
+        W[:, None].astype(jnp.float32), 1.0)
+
+    new_val = jnp.where(head[:, None], centroid, sval)
+    new_size = jnp.where(head, W, jnp.where(alive, 0, ssize))
+    loser = alive & link
+    new_mi = jnp.where(loser, scs[head_pos], smi)
+    return new_val, new_size, new_mi, scs
+
+
 def _active_h(sizes):
     n_alive = jnp.maximum(jnp.sum((sizes > 0).astype(jnp.int32)), 2)
     return jnp.clip(
@@ -211,6 +292,19 @@ def _lsh_merge_iteration(values, sizes, rng, h, threshold, rounds: int = 4):
     keys, proj = lsh.signatures(values, hyper, hh)
     keys = jnp.where(sizes > 0, keys, jnp.int32(BIG_KEY))
     return pairing_merge(values, sizes, keys, proj, threshold, rounds, h=hh)
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _lsh_chain_iteration(values, sizes, rng, threshold):
+    """One deep iteration: hash then single-pass chain collapse."""
+    h = _active_h(sizes)
+    hyper = lsh.draw_hyperplanes(rng, values.shape[1])
+    keys, proj = lsh.signatures(values, hyper, h)
+    keys = jnp.where(sizes > 0, keys, jnp.int32(BIG_KEY))
+    values, sizes, mi, cs = chain_collapse(
+        values, sizes, keys, proj, threshold, h=h)
+    n_alive = jnp.sum((sizes > 0).astype(jnp.int32))
+    return values, sizes, mi, cs, n_alive
 
 
 @partial(jax.jit, static_argnames=("rounds",), donate_argnums=(0, 1))
@@ -357,12 +451,11 @@ def cluster(
     n_alive = n
     while it < iterations:
         if init_rounds is not None and it == 0:
-            # first iteration gets its own deep-round single-iteration
-            # program: log-depth rounds substitute for the reference's full
-            # greedy bucket collapse on the raw rows
-            jvals, jsizes, mi, cs, na = _lsh_cluster_chunk(
-                jvals, jsizes, root_rng, jnp.int32(0),
-                jnp.asarray(thresholds[:1]), init_rounds)
+            # first iteration gets the single-pass chain collapse: the TPU
+            # analog of the reference's full greedy bucket sweep on raw rows
+            jvals, jsizes, mi, cs, na = _lsh_chain_iteration(
+                jvals, jsizes, jax.random.fold_in(root_rng, 0),
+                jnp.float32(thresholds[0]))
             mi, cs = np.asarray(mi), np.asarray(cs)
             losers_pos = np.flatnonzero(mi >= 0)
             forest.apply_events(slot_row[mi[losers_pos]],
