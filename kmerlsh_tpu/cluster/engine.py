@@ -58,6 +58,26 @@ SMALL_CHUNK = 32    # at small capacities, fuse more: dispatch latency
                     # dominates over the (tiny) per-iteration compute
 
 
+def _combined_sort_key(keys, proj, sizes, h):
+    """Fuse (bucket key, quantized secondary projection) into ONE int32 sort
+    key — a single sort is ~2× cheaper on TPU than a variadic two-key sort.
+    The quantization range is computed over ALIVE projections only, so the
+    ordering is invariant to how many dead/padded slots ride along — host
+    compaction can never change merge decisions."""
+    big = jnp.int32(BIG_KEY)
+    alive = sizes > 0
+    free = jnp.clip(30 - h, 0, 29)
+    levels = jnp.left_shift(jnp.int32(1), free)
+    pmin = jnp.min(jnp.where(alive, proj, jnp.inf))
+    pmax = jnp.max(jnp.where(alive, proj, -jnp.inf))
+    span = jnp.maximum(pmax - pmin, 1e-20)
+    q = jnp.clip(
+        ((proj - pmin) / span * levels.astype(jnp.float32)).astype(jnp.int32),
+        0, levels - 1)
+    return jnp.where(keys == big, jnp.int32(2**31 - 1),
+                     jnp.left_shift(keys, free) | q)
+
+
 def pairing_merge(
     values: jax.Array,   # f32 [M, S]
     sizes: jax.Array,    # i32 [M]  (0 = dead slot)
@@ -95,18 +115,7 @@ def pairing_merge(
     if h is None:
         order = jnp.lexsort((proj, keys))
     else:
-        # fuse (bucket key, quantized projection) into ONE int32 sort key:
-        # a single sort is ~2× cheaper on TPU than a variadic two-key sort
-        free = jnp.clip(30 - h, 0, 29)
-        levels = jnp.left_shift(jnp.int32(1), free)
-        pmin = jnp.min(proj)
-        span = jnp.maximum(jnp.max(proj) - pmin, 1e-20)
-        q = jnp.clip(
-            ((proj - pmin) / span * levels.astype(jnp.float32)).astype(
-                jnp.int32), 0, levels - 1)
-        combined = jnp.where(
-            keys == big, jnp.int32(2**31 - 1),
-            jnp.left_shift(keys, free) | q)
+        combined = _combined_sort_key(keys, proj, sizes, h)
         order = jnp.argsort(combined, stable=True).astype(jnp.int32)
     skey = keys[order]
     sval = values[order]
@@ -208,14 +217,7 @@ def chain_collapse(
     if cur_slot is None:
         cur_slot = jnp.arange(m, dtype=jnp.int32)
 
-    free = jnp.clip(30 - h, 0, 29)
-    levels = jnp.left_shift(jnp.int32(1), free)
-    pmin = jnp.min(proj)
-    span = jnp.maximum(jnp.max(proj) - pmin, 1e-20)
-    q = jnp.clip(((proj - pmin) / span * levels.astype(jnp.float32))
-                 .astype(jnp.int32), 0, levels - 1)
-    combined = jnp.where(keys == big, jnp.int32(2**31 - 1),
-                         jnp.left_shift(keys, free) | q)
+    combined = _combined_sort_key(keys, proj, sizes, h)
     order = jnp.argsort(combined, stable=True).astype(jnp.int32)
 
     skey = keys[order]
@@ -271,13 +273,22 @@ def _active_h(sizes):
 
 
 def _one_iteration(values, sizes, rng, threshold, rounds, merged_into,
-                   cur_slot):
+                   cur_slot, merge: str = "pairing"):
     """One LSH iteration with h = ⌊log2 n_alive⌋ computed in-graph; state
-    stays in sorted position order (cur_slot tracks stable slot ids)."""
+    stays in sorted position order (cur_slot tracks stable slot ids).
+
+    ``merge`` picks the within-bucket primitive: ``"pairing"`` (R adjacent
+    rank-pair rounds) or ``"chain"`` (single-pass neighbor-chain collapse —
+    ~4-5× cheaper per iteration and merges whole duplicate runs at once;
+    both implement the reference's greedy bucket sweep semantics,
+    cluster.cc:56-87)."""
     h = _active_h(sizes)
     hyper = lsh.draw_hyperplanes(rng, values.shape[1])
     keys, proj = lsh.signatures(values, hyper, h)
     keys = jnp.where(sizes > 0, keys, jnp.int32(BIG_KEY))
+    if merge == "chain":
+        return chain_collapse(values, sizes, keys, proj, threshold,
+                              merged_into, cur_slot, h=h)
     return pairing_merge(values, sizes, keys, proj, threshold, rounds,
                          merged_into, h=h, cur_slot=cur_slot, unsort=False)
 
@@ -307,9 +318,9 @@ def _lsh_chain_iteration(values, sizes, rng, threshold):
     return values, sizes, mi, cs, n_alive
 
 
-@partial(jax.jit, static_argnames=("rounds",), donate_argnums=(0, 1))
+@partial(jax.jit, static_argnames=("rounds", "merge"), donate_argnums=(0, 1))
 def _lsh_cluster_chunk(values, sizes, base_rng, iter_offset, thresholds,
-                       rounds: int = 4):
+                       rounds: int = 4, merge: str = "pairing"):
     """Run ``len(thresholds)`` LSH iterations as one ``lax.scan`` program.
 
     State lives in permuted position order across iterations (no inverse
@@ -321,12 +332,17 @@ def _lsh_cluster_chunk(values, sizes, base_rng, iter_offset, thresholds,
     m = values.shape[0]
 
     def body(carry, x):
-        values, sizes, mi, cs = carry
         thr, it = x
-        rng = jax.random.fold_in(base_rng, it)
-        values, sizes, mi, cs = _one_iteration(
-            values, sizes, rng, thr, rounds, mi, cs)
-        return (values, sizes, mi, cs), ()
+
+        def run(c):
+            values, sizes, mi, cs = c
+            rng = jax.random.fold_in(base_rng, it)
+            return _one_iteration(values, sizes, rng, thr, rounds, mi, cs,
+                                  merge)
+
+        # padding thresholds (> 1) are TRUE no-ops — they neither permute
+        # state nor cost a sort, so results are chunk-boundary-invariant
+        return jax.lax.cond(thr <= 1.0, run, lambda c: c, carry), ()
 
     its = iter_offset + jnp.arange(len(thresholds), dtype=jnp.int32)
     (values, sizes, mi, cs), _ = jax.lax.scan(
@@ -342,6 +358,233 @@ def _lsh_cluster_chunk(values, sizes, base_rng, iter_offset, thresholds,
 def _compact_order(sizes):
     """Stable permutation placing alive slots first."""
     return jnp.argsort(sizes == 0, stable=True).astype(jnp.int32)
+
+
+@jax.jit
+def _pack2(a, b):
+    """Two i32 arrays → one buffer = one device→host transfer."""
+    return jnp.concatenate([a, b])
+
+
+def _iterate_update(values, sizes, slots, parent, base_rng, thresholds,
+                    iter_offset, rounds, merge, deep_init):
+    """Traced core shared by the head/chunk session programs: run
+    ``len(thresholds)`` iterations (threshold > 1 ⇒ padding no-op), fold the
+    merges into the on-device parent forest, compact alive-first.
+
+    State contract: ``slots[p]`` is the stable original-slot id at position
+    ``p``; ``parent`` (original capacity, never shrinks) maps slot → absorber
+    slot, identity while alive. Merge decisions are capacity-invariant (see
+    ``_combined_sort_key``), so compacting between programs never changes
+    results — only the work per iteration."""
+    mi = jnp.full((values.shape[0],), -1, jnp.int32)
+    cs = slots
+    off = 0
+    if deep_init:
+        # the deep pass: single-pass full chain collapse on raw rows (the
+        # TPU analog of the reference's first greedy sweep, kmerLSH.cc:487)
+        h = _active_h(sizes)
+        hyper = lsh.draw_hyperplanes(jax.random.fold_in(base_rng, 0),
+                                     values.shape[1])
+        keys, proj = lsh.signatures(values, hyper, h)
+        keys = jnp.where(sizes > 0, keys, jnp.int32(BIG_KEY))
+        values, sizes, mi, cs = chain_collapse(
+            values, sizes, keys, proj, thresholds[0], mi, cs, h=h)
+        off = 1
+
+    rest = thresholds[off:]
+    if rest.shape[0]:
+        def body(carry, x):
+            thr, it = x
+
+            def run(c):
+                values, sizes, mi, cs = c
+                rng = jax.random.fold_in(base_rng, it)
+                return _one_iteration(values, sizes, rng, thr, rounds, mi,
+                                      cs, merge)
+
+            # padding thresholds (> 1) are TRUE no-ops (see _lsh_cluster_chunk)
+            return jax.lax.cond(thr <= 1.0, run, lambda c: c, carry), ()
+
+        its = iter_offset + off + jnp.arange(rest.shape[0], dtype=jnp.int32)
+        (values, sizes, mi, cs), _ = jax.lax.scan(
+            body, (values, sizes, mi, cs), (rest, its))
+
+    # each slot dies at most once per program, so one scatter folds all of
+    # this program's merges into the global forest; slots that did not merge
+    # keep their existing parent (they may have died in an earlier program)
+    parent = parent.at[cs].set(jnp.where(mi >= 0, mi, parent[cs]))
+    order = _compact_order(sizes)
+    n_alive = jnp.sum((sizes > 0).astype(jnp.int32))
+    return values[order], sizes[order], cs[order], parent, n_alive
+
+
+@partial(jax.jit, static_argnames=("rounds", "merge", "deep_init"))
+def _head_program(counts, v_kmers, base_rng, thresholds,
+                  rounds: int, merge: str, deep_init: bool):
+    """Session head: abundance transform (ioMatrix.cc:353-408 semantics)
+    fused with the first iterations. counts uint16 [S, cap]."""
+    cap = counts.shape[1]
+    c = counts.astype(jnp.float32).T                    # [cap, S]
+    values = jnp.log1p(c) - v_kmers[None, :].astype(jnp.float32)
+    total = jnp.sum(counts.astype(jnp.int32), axis=0)
+    keep = total.astype(jnp.float32) > 0.1 * counts.shape[0]
+    sizes = keep.astype(jnp.int32)
+    slots = jnp.arange(cap, dtype=jnp.int32)
+    parent = jnp.arange(cap, dtype=jnp.int32)
+    return _iterate_update(values, sizes, slots, parent, base_rng,
+                           thresholds, jnp.int32(0), rounds, merge, deep_init)
+
+
+@partial(jax.jit, static_argnames=("rounds", "merge"))
+def _chunk_program(values, sizes, slots, parent, base_rng, thresholds,
+                   iter_offset, rounds: int, merge: str):
+    """Session middle: a chunk of iterations at the (possibly shrunken)
+    current capacity; the parent forest stays at original capacity."""
+    return _iterate_update(values, sizes, slots, parent, base_rng,
+                           thresholds, iter_offset, rounds, merge,
+                           deep_init=False)
+
+
+@partial(jax.jit, static_argnames=("new_cap",))
+def _slice_state(values, sizes, slots, new_cap: int):
+    """Shrink alive-first-compacted state to a smaller capacity (the
+    session analog of the reference's shrinking cluster vector): later
+    iterations sort/scan/gather proportionally less."""
+    return values[:new_cap], sizes[:new_cap], slots[:new_cap]
+
+
+@partial(jax.jit, static_argnames=("fc", "jumps"))
+def _finalize_program(values, sizes, slots, parent, fc: int, jumps: int):
+    """Resolve merge-forest roots (log-depth pointer jumping; ``2**jumps``
+    bounds the chain depth — each merge round deepens chains by ≤ 1) and
+    pack everything the host needs into ONE i32 buffer = one device→host
+    transfer. On tunneled TPU setups every separate pull is a full round
+    trip, so transfer count — not compute — dominates the warm path."""
+    roots = parent
+    for _ in range(jumps):
+        roots = roots[roots]
+    vbits = jax.lax.bitcast_convert_type(values[:fc], jnp.int32).reshape(-1)
+    return jnp.concatenate([sizes[:fc], slots[:fc], roots, vbits])
+
+
+def upload_counts(counts: np.ndarray) -> tuple[jax.Array, int]:
+    """Pad a uint16 [S, N] count batch to capacity and place it on device.
+
+    Returns (device array [S, cap], N). Callers that run several sessions
+    over the same matrix (threshold sweeps, bench warm runs) should hold on
+    to the device array — re-using it skips the host→device transfer, which
+    dwarfs the session's compute time on PCIe-remote setups.
+    """
+    S, n = counts.shape
+    cap = _pad_capacity(n)
+    padded = np.zeros((S, cap), np.uint16)
+    padded[:, :n] = counts
+    return jnp.asarray(padded), n
+
+
+HEAD_ITERS = 3   # iterations fused into the head program (full capacity)
+MID_CHUNK = 3    # iterations per mid-session chunk while capacity is large
+
+
+def cluster_counts(
+    counts,                      # uint16 [S, N] batch (np) or device [S, cap]
+    v_kmers: np.ndarray,         # f32 [S] per-sample coverage offsets
+    thresholds: np.ndarray,      # f32 [I] anneal schedule (incl. init pass)
+    seed: int = 0,
+    rounds: int = 4,
+    deep_init: bool = True,
+    verbose: bool = False,
+    n: int | None = None,        # real column count when counts is on device
+    merge: str = "chain",
+) -> tuple[np.ndarray, np.ndarray, list[np.ndarray]]:
+    """Single-batch mode C as a handful of fused device programs.
+
+    Structure: head (transform + first iterations at full capacity) → mid
+    chunks with capacity compaction between them (cluster count collapses
+    geometrically, so later iterations run at a fraction of the capacity)
+    → finalize (root resolution + one packed pull). The count matrix is
+    the only upload; membership comes back as one i32 root map. ``counts``
+    may be a capacity-padded device array from :func:`upload_counts` (with
+    ``n``) to amortize the upload across sessions. Returns
+    (centroids [K, S], sizes [K], members) like :func:`cluster`.
+    """
+    if isinstance(counts, jax.Array):
+        assert n is not None, "pass n (real column count) with device counts"
+        jcounts = counts
+    else:
+        S0, n0 = counts.shape
+        if n0 == 0:
+            return np.zeros((0, S0), np.float32), np.zeros(0, np.int64), []
+        jcounts, n = upload_counts(counts)
+    S, cap0 = jcounts.shape
+    thr = np.asarray(thresholds, np.float32)
+    total = len(thr)
+    base_rng = jax.random.PRNGKey(seed)
+    jv = jnp.asarray(np.asarray(v_kmers, np.float32))
+
+    head_k = min(total, HEAD_ITERS)
+    head_thr = np.full(HEAD_ITERS, 9.0, np.float32)
+    head_thr[:head_k] = thr[:head_k]
+    values, sizes, slots, parent, na_dev = _head_program(
+        jcounts, jv, base_rng, jnp.asarray(head_thr), rounds, merge,
+        deep_init)
+    it = head_k
+    na = int(na_dev)                          # 1 RT
+    cap = cap0
+    if verbose:
+        print(f"[tpu] head ({head_k} iters): {na} clusters")
+
+    while it < total:
+        new_cap = min(cap, _pad_capacity(max(na, 1)))
+        if new_cap < cap:
+            values, sizes, slots = _slice_state(values, sizes, slots, new_cap)
+            cap = new_cap
+        if cap <= SMALL_CAP:
+            c = total - it                    # run everything that remains
+        else:
+            c = min(MID_CHUNK, total - it)
+        c_prog = max(MID_CHUNK,
+                     1 << max(0, math.ceil(math.log2(max(c, 1)))))
+        tpad = np.full(c_prog, 9.0, np.float32)
+        tpad[:c] = thr[it:it + c]
+        values, sizes, slots, parent, na_dev = _chunk_program(
+            values, sizes, slots, parent, base_rng, jnp.asarray(tpad),
+            jnp.int32(it), rounds, merge)
+        na = int(na_dev)                      # 1 RT per chunk
+        it += c
+        if verbose:
+            print(f"[tpu] iter {it}: {na} clusters")
+
+    # chains deepen ≤1 per merge round; round up generously
+    rpi = 1 if merge == "chain" else max(rounds, 1)
+    jumps = max(6, math.ceil(math.log2(total * rpi + 2)) + 1)
+    fc = min(cap, _pad_capacity(max(na, 1)))
+    buf = np.asarray(_finalize_program(
+        values, sizes, slots, parent, fc, jumps))   # one pull (1 RT)
+    final_sizes = buf[:fc]
+    final_slots = buf[fc:2 * fc]
+    roots_np = buf[2 * fc:2 * fc + cap0][:n]
+    final_vals = buf[2 * fc + cap0:].view(np.float32).reshape(fc, S)
+
+    # group input rows by forest root (alive roots only — filtered rows are
+    # their own dead roots and are dropped, matching ioMatrix.cc:381)
+    order = np.argsort(roots_np, kind="stable")
+    sr = roots_np[order]
+    starts = np.flatnonzero(np.r_[True, sr[1:] != sr[:-1]])
+    members_of_root = {int(sr[s]): g for s, g in
+                       zip(starts, np.split(order, starts[1:]))}
+
+    out = []
+    for i in range(na):
+        g = members_of_root[int(final_slots[i])]
+        out.append((int(g[0]), final_vals[i], final_sizes[i], g))
+    out.sort(key=lambda t: t[0])
+    centroids = (np.stack([o[1] for o in out]) if out
+                 else np.zeros((0, S), np.float32))
+    out_sizes = np.asarray([o[2] for o in out], np.int64)
+    members = [o[3] for o in out]
+    return centroids, out_sizes, members
 
 
 @partial(jax.jit, static_argnames=("new_cap",), donate_argnums=(0, 1))
@@ -402,6 +645,7 @@ def cluster(
     verbose: bool = False,
     thresholds: np.ndarray | None = None,
     init_rounds: int | None = None,
+    merge: str = "chain",
 ) -> tuple[np.ndarray, np.ndarray, list[np.ndarray]]:
     """Cluster rows of ``values`` [N, S] with the annealed-threshold LSH loop
     (0.95 → min_similarity over ``iterations``, cluster.cc:190-192,330).
@@ -456,7 +700,8 @@ def cluster(
             jvals, jsizes, mi, cs, na = _lsh_chain_iteration(
                 jvals, jsizes, jax.random.fold_in(root_rng, 0),
                 jnp.float32(thresholds[0]))
-            mi, cs = np.asarray(mi), np.asarray(cs)
+            buf = np.asarray(_pack2(mi, cs))
+            mi, cs = buf[:cap], buf[cap:]
             losers_pos = np.flatnonzero(mi >= 0)
             forest.apply_events(slot_row[mi[losers_pos]],
                                 slot_row[cs[losers_pos]])
@@ -484,9 +729,10 @@ def cluster(
         thr = np.full(c_prog, 9.0, np.float32)
         thr[:c] = thresholds[it : it + c]
         jvals, jsizes, mi, cs, na = _lsh_cluster_chunk(
-            jvals, jsizes, root_rng, jnp.int32(it), jnp.asarray(thr), rounds)
-        mi = np.asarray(mi)
-        cs = np.asarray(cs)
+            jvals, jsizes, root_rng, jnp.int32(it), jnp.asarray(thr), rounds,
+            merge)
+        buf = np.asarray(_pack2(mi, cs))
+        mi, cs = buf[:cap], buf[cap:]
         losers_pos = np.flatnonzero(mi >= 0)
         # mi values are chunk-entry slot ids; positions map via cur_slot
         forest.apply_events(slot_row[mi[losers_pos]],
@@ -516,8 +762,10 @@ def cluster(
     final_cap = _pad_capacity(n_alive)
     jvals, jsizes = _gather_slice(jvals, jsizes, order, final_cap)
     slot_row = slot_row[perm][:final_cap]
-    final_sizes = np.asarray(jsizes)
-    final_vals = np.asarray(jvals)
+    fbuf = np.asarray(_pack2(
+        jsizes, jax.lax.bitcast_convert_type(jvals, jnp.int32).reshape(-1)))
+    final_sizes = fbuf[:final_cap]
+    final_vals = fbuf[final_cap:].view(np.float32).reshape(final_cap, -1)
     alive_idx = np.nonzero(final_sizes > 0)[0]
 
     roots, members_of_root = forest.groups()

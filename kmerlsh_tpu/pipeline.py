@@ -30,6 +30,10 @@ from kmerlsh_tpu.io.samples import get_input
 from kmerlsh_tpu.ops import reads as readops, transform, ttest
 from kmerlsh_tpu.utils.timing import Stages
 
+# (path, mtime_ns, size, S, kmap_size) → (device counts [S, cap], n);
+# bounded to one entry — see _fused_single_batch
+_DEVICE_COUNTS_CACHE: dict = {}
+
 
 def _cluster_fn(params: HyperParams):
     if params.engine == "greedy":
@@ -144,20 +148,30 @@ def init_clustering(
 def _fused_single_batch(
     params: HyperParams, kmap_size: int, v_kmers: list[float], stages: Stages,
 ) -> tuple[np.ndarray, list[np.ndarray]]:
-    """Single-batch mode C entirely on device: transform → one deep init
-    iteration at 0.95 → the I-step anneal, in one engine session."""
-    import jax.numpy as jnp
-
+    """Single-batch mode C as ONE device program: transform → one deep init
+    iteration at 0.95 → the I-step anneal → root resolution → compaction
+    (engine._fused_session). One upload, one dispatch, small pulls."""
     from kmerlsh_tpu.cluster import engine
 
     bin_path = os.path.join(params.work_dir, countsio.BIN_NAME)
     S = len(v_kmers)
     v = np.asarray(v_kmers, np.float32)
+    # device-resident input cache: re-clustering the same count matrix
+    # (threshold/iteration sweeps, repeated mode-C restarts) skips the
+    # host→device transfer — the dominant cost of a warm session
+    st = os.stat(bin_path)
+    cache_key = (os.path.abspath(bin_path), st.st_mtime_ns, st.st_size,
+                 S, kmap_size)
+    cached = _DEVICE_COUNTS_CACHE.get(cache_key)
     with stages.stage("read_batch"):
-        cmat = countsio.read_count_batch(bin_path, S, kmap_size, 0, kmap_size)
-    with stages.stage("transform"):
-        jvalues, keep = transform.abundance_transform(cmat, v)
-    sizes = keep.astype(jnp.int32)
+        if cached is None:
+            cmat = countsio.read_count_batch(
+                bin_path, S, kmap_size, 0, kmap_size)
+            jcounts, n = engine.upload_counts(cmat)
+            _DEVICE_COUNTS_CACHE.clear()   # hold at most one matrix
+            _DEVICE_COUNTS_CACHE[cache_key] = (jcounts, n)
+        else:
+            jcounts, n = cached
 
     i = params.cluster_iteration
     sim_step = (0.95 - params.min_similarity) / i
@@ -165,10 +179,9 @@ def _fused_single_batch(
         [0.95],                                   # init pass (kmerLSH.cc:487)
         0.95 - sim_step * np.arange(i),           # final anneal
     ]).astype(np.float32)
-    cents, _, groups = engine.cluster(
-        jvalues, sizes, seed=params.seed, rounds=params.merge_rounds,
-        thresholds=schedule, init_rounds=max(params.merge_rounds, 16),
-        verbose=params.verbose)
+    cents, _, groups = engine.cluster_counts(
+        jcounts, v, schedule, seed=params.seed, rounds=params.merge_rounds,
+        deep_init=True, verbose=params.verbose, n=n)
     final_ids = [np.sort(g).astype(np.uint64) for g in groups]
     return cents, final_ids
 

@@ -26,5 +26,7 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
     path = cache_dir or _DEFAULT_DIR
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # persist even trivial programs: through a remote-compile tunnel the
+    # fixed round-trip cost dwarfs the compile itself
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     _enabled = True

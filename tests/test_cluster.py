@@ -124,3 +124,93 @@ def test_large_duplicate_bucket_collapses_fast():
                                        seed=0)
     assert len(members) == 1
     assert sizes[0] == 2000
+
+
+def _poisson_counts(seed=11, S=8, n_prof=40, reps=30):
+    rng = np.random.default_rng(seed)
+    prof = rng.gamma(2.0, 20.0, size=(n_prof, S))
+    rows = rng.integers(0, n_prof, size=n_prof * reps)
+    counts = np.minimum(rng.poisson(prof[rows]), 65535).astype(np.uint16).T
+    v = (np.log(np.maximum(counts, 1)).sum(axis=1) / counts.shape[1]).astype(
+        np.float32)
+    return counts, v
+
+
+def test_fused_session_matches_chunked_path_exactly_pre_compaction():
+    """Up to the first capacity compaction the fused session and the
+    transform + engine.cluster composition are bit-identical (same rng
+    stream, same merge dynamics, same layout)."""
+    import jax.numpy as jnp
+
+    from kmerlsh_tpu.ops import transform
+
+    counts, v = _poisson_counts()
+    schedule = (0.95 - 0.01 * np.arange(engine.HEAD_ITERS)).astype(np.float32)
+
+    c_f, s_f, m_f = engine.cluster_counts(counts, v, schedule, seed=3)
+    jvalues, keep = transform.abundance_transform(counts, v)
+    c_c, s_c, m_c = engine.cluster(
+        jvalues, keep.astype(jnp.int32), thresholds=schedule, seed=3,
+        init_rounds=16)
+
+    assert s_f.tolist() == s_c.tolist()
+    assert all(np.array_equal(a, b) for a, b in zip(m_f, m_c))
+    np.testing.assert_allclose(c_f, c_c, atol=1e-5)
+
+
+def test_fused_session_statistically_matches_chunked_path():
+    """Across capacity compactions the paths stay statistically identical
+    (same cluster count, same size multiset); exact member routing may
+    differ because chain centroids are f32 prefix-sum differences whose low
+    bits depend on array layout — both paths are individually seeded-
+    deterministic, which is strictly stronger than the reference (its runs
+    don't even match themselves, hash/lshash.cc:6-7)."""
+    import jax.numpy as jnp
+
+    from kmerlsh_tpu.ops import transform
+
+    counts, v = _poisson_counts()
+    iters = 12
+    sim_step = (0.95 - 0.8) / iters
+    schedule = np.concatenate(
+        [[0.95], 0.95 - sim_step * np.arange(iters)]).astype(np.float32)
+
+    c_f, s_f, m_f = engine.cluster_counts(counts, v, schedule, seed=3)
+    jvalues, keep = transform.abundance_transform(counts, v)
+    c_c, s_c, m_c = engine.cluster(
+        jvalues, keep.astype(jnp.int32), thresholds=schedule, seed=3,
+        init_rounds=16)
+
+    assert len(m_f) == len(m_c)
+    assert sorted(s_f.tolist()) == sorted(s_c.tolist())
+    # all rows covered exactly once by each
+    assert sorted(np.concatenate(m_f).tolist()) == \
+        sorted(np.concatenate(m_c).tolist())
+
+
+def test_cluster_counts_deterministic():
+    counts, v = _poisson_counts(seed=5)
+    schedule = (0.95 - 0.012 * np.arange(10)).astype(np.float32)
+    r1 = engine.cluster_counts(counts, v, schedule, seed=7)
+    r2 = engine.cluster_counts(counts, v, schedule, seed=7)
+    assert np.array_equal(r1[0], r2[0])
+    assert r1[1].tolist() == r2[1].tolist()
+    assert all(np.array_equal(a, b) for a, b in zip(r1[2], r2[2]))
+
+
+def test_fused_session_filters_low_count_rows():
+    """Rows failing the Σcount > 0.1·S filter (ioMatrix.cc:381) never
+    appear in any cluster."""
+    S = 10
+    counts = np.zeros((S, 6), np.uint16)
+    counts[:, 0] = 50
+    counts[:, 1] = 50
+    counts[0, 2] = 1   # total 1 ≤ 0.1*10 → dropped
+    counts[:, 3] = 30
+    v = np.zeros(S, np.float32)
+    schedule = np.full(4, 0.5, np.float32)
+    _, sizes, members = engine.cluster_counts(counts, v, schedule, seed=0)
+    covered = np.concatenate(members) if members else np.empty(0)
+    assert 2 not in covered
+    assert 4 not in covered and 5 not in covered
+    assert int(sizes.sum()) == 3  # rows 0,1,3 survive
