@@ -3,23 +3,27 @@
 The reference's hot loop (function/cluster.cc:181-340) is re-designed for
 XLA rather than translated:
 
-  * **signatures** — one [M, S] × [S, 31] matmul on the MXU replaces the
+  * **layout** — cluster profiles live **sample-major** (``values_t``
+    f32 [S, M]): the k-mer/cluster axis rides the 128-lane minor dimension.
+    XLA:TPU pads the minor dimension of every array to 128 lanes, so the
+    naive [M, S≈20] layout would pay a ~6× HBM-bandwidth tax on every
+    gather/scan/elementwise over the matrix (measured 95 ms vs ~15 ms per
+    iteration at M = 2^20, S = 20 on v5e);
+  * **signatures** — one [31, S] × [S, M] matmul on the MXU replaces the
     per-row scalar projection loop (hot loop #1, hash/lshash.cc:44-59);
-  * **bucketing** — ``lexsort`` by (key, secondary projection) replaces the
-    scatter into 2^h vectors (cluster.cc:15-30); buckets become contiguous
-    segments;
+  * **bucketing** — ONE fused int32 sort key (bucket key, quantized
+    secondary projection) + ``argsort`` replaces the scatter into 2^h
+    vectors (cluster.cc:15-30); buckets become contiguous segments;
   * **within-bucket merging** — the inherently sequential greedy
-    ``p_cluster`` (cluster.cc:56-87) is replaced by *pairing-merge rounds*:
-    within each segment, alive clusters are ranked and adjacent rank pairs
-    (alternating odd/even phase per round) are tested and merged in one
-    fully-vectorized step across every bucket at once. Secondary ordering by
-    a random projection places similar profiles adjacently, so R rounds
-    collapse a b-duplicate bucket in O(log b) rounds instead of O(b²) work.
-    Merged centroids are the same size-weighted means (funcAB.cc:49-71) and
-    the same annealed cosine threshold gates each merge;
+    ``p_cluster`` (cluster.cc:56-87) is replaced by a *single-pass chain
+    collapse*: consecutive sorted elements whose neighbor cosine ≥ threshold
+    chain together and each chain collapses to one cluster whose centroid is
+    the exact size-weighted mean (funcAB.cc:49-71 semantics), computed as
+    prefix-sum differences. A *pairing-merge* fallback (R adjacent rank-pair
+    rounds) is kept for comparison and the sharded path;
   * **oversized buckets** — need no special case (the reference re-partitions
-    buckets > 1e6 once, cluster.cc:286-288): pairing cost is independent of
-    bucket size;
+    buckets > 1e6 once, cluster.cc:286-288): chain/pairing cost is
+    independent of bucket size;
   * **dynamic cluster count** — static-shape state with validity masks; the
     active hyperplane count h = ⌊log2 n_alive⌋ is computed *in-graph* so
     whole chunks of iterations run as one ``lax.scan`` without host
@@ -79,10 +83,10 @@ def _combined_sort_key(keys, proj, sizes, h):
 
 
 def pairing_merge(
-    values: jax.Array,   # f32 [M, S]
-    sizes: jax.Array,    # i32 [M]  (0 = dead slot)
-    keys: jax.Array,     # i32 [M] bucket keys (BIG_KEY for dead slots)
-    proj: jax.Array,     # f32 [M] secondary ordering projection
+    values_t: jax.Array,   # f32 [S, M]
+    sizes: jax.Array,      # i32 [M]  (0 = dead slot)
+    keys: jax.Array,       # i32 [M] bucket keys (BIG_KEY for dead slots)
+    proj: jax.Array,       # f32 [M] secondary ordering projection
     threshold: jax.Array,  # f32 scalar: cosine-similarity threshold
     rounds: int,
     merged_into: jax.Array | None = None,  # i32 [M] accumulator (-1 = alive)
@@ -105,7 +109,7 @@ def pairing_merge(
     (XLA:TPU lowers them poorly), no per-round sorts, no associative_scan
     pairs.
     """
-    m = values.shape[0]
+    m = values_t.shape[1]
     big = jnp.int32(BIG_KEY)
     if merged_into is None:
         merged_into = jnp.full((m,), -1, jnp.int32)
@@ -118,7 +122,7 @@ def pairing_merge(
         combined = _combined_sort_key(keys, proj, sizes, h)
         order = jnp.argsort(combined, stable=True).astype(jnp.int32)
     skey = keys[order]
-    sval = values[order]
+    svt = values_t[:, order]
     ssize = sizes[order]
     scs = cur_slot[order]
     smi = merged_into[order]
@@ -162,10 +166,10 @@ def pairing_merge(
 
         # each element gathers its own partner; sims are computed on both
         # sides with identical reduction order, so left/right agree bitwise
-        pv = sval[partner]
+        pv = svt[:, partner]
         ps = ssize[partner]
-        dot = jnp.sum(sval * pv, axis=1)
-        nn = jnp.sqrt(jnp.sum(sval * sval, axis=1) * jnp.sum(pv * pv, axis=1))
+        dot = jnp.sum(svt * pv, axis=0)
+        nn = jnp.sqrt(jnp.sum(svt * svt, axis=0) * jnp.sum(pv * pv, axis=0))
         sim = dot / jnp.where(nn > 0, nn, 1.0)
         merge = partner_ok & (sim >= threshold)
 
@@ -173,44 +177,51 @@ def pairing_merge(
         lose = merge & role_right  # dies into its partner
 
         tot = (ssize + ps).astype(jnp.float32)
-        sval = jnp.where(
-            win[:, None],
-            (sval * ssize[:, None].astype(jnp.float32)
-             + pv * ps[:, None].astype(jnp.float32))
-            / jnp.where(win, tot, 1.0)[:, None],
-            sval,
+        svt = jnp.where(
+            win[None, :],
+            (svt * ssize[None, :].astype(jnp.float32)
+             + pv * ps[None, :].astype(jnp.float32))
+            / jnp.where(win, tot, 1.0)[None, :],
+            svt,
         )
         ssize = jnp.where(win, ssize + ps, ssize)
         ssize = jnp.where(lose, 0, ssize)
         smi = jnp.where(lose, scs[partner], smi)
 
     if not unsort:
-        return sval, ssize, smi, scs
+        return svt, ssize, smi, scs
     inv = jnp.argsort(order).astype(jnp.int32)
-    return sval[inv], ssize[inv], smi[inv]
+    return svt[:, inv], ssize[inv], smi[inv]
 
 
 def chain_collapse(
-    values: jax.Array,   # f32 [M, S]
-    sizes: jax.Array,    # i32 [M]  (0 = dead slot)
-    keys: jax.Array,     # i32 [M] bucket keys (BIG_KEY for dead slots)
-    proj: jax.Array,     # f32 [M] secondary ordering projection
+    values_t: jax.Array,   # f32 [S, M]
+    sizes: jax.Array,      # i32 [M]  (0 = dead slot)
+    keys: jax.Array,       # i32 [M] bucket keys (BIG_KEY for dead slots)
+    proj: jax.Array,       # f32 [M] secondary ordering projection
     threshold: jax.Array,
     merged_into: jax.Array | None = None,
     cur_slot: jax.Array | None = None,
     h: jax.Array | None = None,
 ):
     """Single-pass full bucket collapse: consecutive sorted elements whose
-    neighbor cosine ≥ threshold chain together; each chain collapses to its
-    head with the exact size-weighted mean (computed as cumulative-sum
-    differences — weights are integer-exact, value sums are one f32 prefix
-    pass). This is the TPU analog of the reference's one greedy sweep over
-    a bucket (p_cluster, cluster.cc:56-87): O(1) passes instead of O(b)
-    rounds, used for the deep init iteration where buckets are rawest.
+    neighbor cosine ≥ threshold chain together; each chain collapses to a
+    single cluster with the exact size-weighted mean (computed as
+    cumulative-sum differences — weights are integer-exact, value sums are
+    one f32 prefix pass). This is the TPU analog of the reference's one
+    greedy sweep over a bucket (p_cluster, cluster.cc:56-87): O(1) passes
+    instead of O(b) rounds.
+
+    The surviving centroid is written at the chain's LAST position (not the
+    head): the inclusive prefix sums are complete there, which removes the
+    second wide gather a head-placed centroid would need. The head's stable
+    slot id is what survives — the last position's ``cur_slot`` is swapped
+    with the head's, so the merge forest still records "everyone merged
+    into the chain head" exactly as the reference's greedy sweep does.
 
     Same output contract as ``pairing_merge(unsort=False)``.
     """
-    m = values.shape[0]
+    s, m = values_t.shape
     big = jnp.int32(BIG_KEY)
     if merged_into is None:
         merged_into = jnp.full((m,), -1, jnp.int32)
@@ -221,7 +232,7 @@ def chain_collapse(
     order = jnp.argsort(combined, stable=True).astype(jnp.int32)
 
     skey = keys[order]
-    sval = values[order]
+    svt = values_t[:, order]
     ssize = sizes[order]
     scs = cur_slot[order]
     smi = merged_into[order]
@@ -232,36 +243,42 @@ def chain_collapse(
 
     # neighbor similarity with the previous position (all alive elements of
     # a segment are contiguous: dead slots all carry BIG keys)
-    prev_v = jnp.concatenate([sval[:1], sval[:-1]])
-    dot = jnp.sum(sval * prev_v, axis=1)
-    nn = jnp.sqrt(jnp.sum(sval * sval, axis=1)
-                  * jnp.sum(prev_v * prev_v, axis=1))
+    prev_vt = jnp.pad(svt[:, :-1], ((0, 0), (1, 0)))
+    dot = jnp.sum(svt * prev_vt, axis=0)
+    nn = jnp.sqrt(jnp.sum(svt * svt, axis=0)
+                  * jnp.sum(prev_vt * prev_vt, axis=0))
     sim = dot / jnp.where(nn > 0, nn, 1.0)
     prev_alive = jnp.concatenate([jnp.zeros(1, bool), alive[:-1]])
     link = alive & prev_alive & (~starts) & (sim >= threshold)
     head = alive & ~link
+    next_link = jnp.concatenate([link[1:], jnp.zeros(1, bool)])
+    is_last = alive & ~next_link            # last member of each chain
 
-    # chain span sums via prefix differences (weights int-exact)
+    # inclusive chain prefix sums via global prefix differences
+    head_pos = jax.lax.cummax(jnp.where(head, pos, jnp.int32(0)))
+    hp1 = jnp.maximum(head_pos - 1, 0)
     w = ssize
     w_cum = jnp.cumsum(w)
-    wv_cum = jnp.cumsum(sval * w[:, None].astype(jnp.float32), axis=0)
-    head_pos = jax.lax.cummax(jnp.where(head, pos, jnp.int32(0)))
-    nx = jax.lax.cummin(jnp.where(head, pos, jnp.int32(m)), reverse=True)
-    next_head = jnp.concatenate([nx[1:], jnp.full((1,), m, jnp.int32)])
-    end = jnp.clip(next_head - 1, 0, m - 1)
+    W = w_cum - jnp.where(head_pos > 0, w_cum[hp1], 0)
+    wv_cum = jnp.cumsum(svt * w[None, :].astype(jnp.float32), axis=1)
+    wv_lo = jnp.where((head_pos > 0)[None, :], wv_cum[:, hp1], 0.0)
+    centroid = (wv_cum - wv_lo) / jnp.maximum(
+        W[None, :].astype(jnp.float32), 1.0)
 
-    w_lo = jnp.where(pos > 0, w_cum[jnp.clip(pos - 1, 0, m - 1)], 0)
-    W = w_cum[end] - w_lo
-    wv_lo = jnp.where((pos > 0)[:, None],
-                      wv_cum[jnp.clip(pos - 1, 0, m - 1)], 0.0)
-    centroid = (wv_cum[end] - wv_lo) / jnp.maximum(
-        W[:, None].astype(jnp.float32), 1.0)
+    new_vt = jnp.where(is_last[None, :], centroid, svt)
+    new_size = jnp.where(is_last, W, jnp.where(alive, 0, ssize))
 
-    new_val = jnp.where(head[:, None], centroid, sval)
-    new_size = jnp.where(head, W, jnp.where(alive, 0, ssize))
-    loser = alive & link
-    new_mi = jnp.where(loser, scs[head_pos], smi)
-    return new_val, new_size, new_mi, scs
+    # slot bookkeeping: the chain-head SLOT survives (stored at the last
+    # position); the last position's original slot moves to the head
+    # position and dies there with everyone else
+    head_scs = scs[head_pos]
+    last_pos = jax.lax.cummin(jnp.where(is_last, pos, jnp.int32(m)),
+                              reverse=True)
+    last_scs = scs[jnp.minimum(last_pos, m - 1)]
+    new_scs = jnp.where(is_last, head_scs,
+                        jnp.where(head, last_scs, scs))
+    new_mi = jnp.where(alive & ~is_last, head_scs, smi)
+    return new_vt, new_size, new_mi, new_scs
 
 
 def _active_h(sizes):
@@ -272,7 +289,7 @@ def _active_h(sizes):
     )
 
 
-def _one_iteration(values, sizes, rng, threshold, rounds, merged_into,
+def _one_iteration(values_t, sizes, rng, threshold, rounds, merged_into,
                    cur_slot, merge: str = "pairing"):
     """One LSH iteration with h = ⌊log2 n_alive⌋ computed in-graph; state
     stays in sorted position order (cur_slot tracks stable slot ids).
@@ -283,61 +300,62 @@ def _one_iteration(values, sizes, rng, threshold, rounds, merged_into,
     both implement the reference's greedy bucket sweep semantics,
     cluster.cc:56-87)."""
     h = _active_h(sizes)
-    hyper = lsh.draw_hyperplanes(rng, values.shape[1])
-    keys, proj = lsh.signatures(values, hyper, h)
+    hyper = lsh.draw_hyperplanes(rng, values_t.shape[0])
+    keys, proj = lsh.signatures_t(values_t, hyper, h)
     keys = jnp.where(sizes > 0, keys, jnp.int32(BIG_KEY))
     if merge == "chain":
-        return chain_collapse(values, sizes, keys, proj, threshold,
+        return chain_collapse(values_t, sizes, keys, proj, threshold,
                               merged_into, cur_slot, h=h)
-    return pairing_merge(values, sizes, keys, proj, threshold, rounds,
+    return pairing_merge(values_t, sizes, keys, proj, threshold, rounds,
                          merged_into, h=h, cur_slot=cur_slot, unsort=False)
 
 
 @partial(jax.jit, static_argnames=("rounds",), donate_argnums=(0, 1))
-def _lsh_merge_iteration(values, sizes, rng, h, threshold, rounds: int = 4):
+def _lsh_merge_iteration(values_t, sizes, rng, h, threshold, rounds: int = 4):
     """Single-iteration slot-stable entry (compile-check / bench paths;
     ``h`` is accepted for signature stability but recomputed in-graph)."""
     del h
     hh = _active_h(sizes)
-    hyper = lsh.draw_hyperplanes(rng, values.shape[1])
-    keys, proj = lsh.signatures(values, hyper, hh)
+    hyper = lsh.draw_hyperplanes(rng, values_t.shape[0])
+    keys, proj = lsh.signatures_t(values_t, hyper, hh)
     keys = jnp.where(sizes > 0, keys, jnp.int32(BIG_KEY))
-    return pairing_merge(values, sizes, keys, proj, threshold, rounds, h=hh)
+    return pairing_merge(values_t, sizes, keys, proj, threshold, rounds,
+                         h=hh)
 
 
 @partial(jax.jit, donate_argnums=(0, 1))
-def _lsh_chain_iteration(values, sizes, rng, threshold):
+def _lsh_chain_iteration(values_t, sizes, rng, threshold):
     """One deep iteration: hash then single-pass chain collapse."""
     h = _active_h(sizes)
-    hyper = lsh.draw_hyperplanes(rng, values.shape[1])
-    keys, proj = lsh.signatures(values, hyper, h)
+    hyper = lsh.draw_hyperplanes(rng, values_t.shape[0])
+    keys, proj = lsh.signatures_t(values_t, hyper, h)
     keys = jnp.where(sizes > 0, keys, jnp.int32(BIG_KEY))
-    values, sizes, mi, cs = chain_collapse(
-        values, sizes, keys, proj, threshold, h=h)
+    values_t, sizes, mi, cs = chain_collapse(
+        values_t, sizes, keys, proj, threshold, h=h)
     n_alive = jnp.sum((sizes > 0).astype(jnp.int32))
-    return values, sizes, mi, cs, n_alive
+    return values_t, sizes, mi, cs, n_alive
 
 
 @partial(jax.jit, static_argnames=("rounds", "merge"), donate_argnums=(0, 1))
-def _lsh_cluster_chunk(values, sizes, base_rng, iter_offset, thresholds,
+def _lsh_cluster_chunk(values_t, sizes, base_rng, iter_offset, thresholds,
                        rounds: int = 4, merge: str = "pairing"):
     """Run ``len(thresholds)`` LSH iterations as one ``lax.scan`` program.
 
     State lives in permuted position order across iterations (no inverse
     sorts); ``cur_slot`` maps final positions back to the chunk-entry slot
-    ids. Returns (values, sizes, merged_into, cur_slot, n_alive):
+    ids. Returns (values_t, sizes, merged_into, cur_slot, n_alive):
     ``merged_into`` is position-aligned, its values are chunk-entry slot
     ids of the absorbing cluster (one composed map — each slot dies at
     most once per chunk)."""
-    m = values.shape[0]
+    m = values_t.shape[1]
 
     def body(carry, x):
         thr, it = x
 
         def run(c):
-            values, sizes, mi, cs = c
+            values_t, sizes, mi, cs = c
             rng = jax.random.fold_in(base_rng, it)
-            return _one_iteration(values, sizes, rng, thr, rounds, mi, cs,
+            return _one_iteration(values_t, sizes, rng, thr, rounds, mi, cs,
                                   merge)
 
         # padding thresholds (> 1) are TRUE no-ops — they neither permute
@@ -345,13 +363,13 @@ def _lsh_cluster_chunk(values, sizes, base_rng, iter_offset, thresholds,
         return jax.lax.cond(thr <= 1.0, run, lambda c: c, carry), ()
 
     its = iter_offset + jnp.arange(len(thresholds), dtype=jnp.int32)
-    (values, sizes, mi, cs), _ = jax.lax.scan(
+    (values_t, sizes, mi, cs), _ = jax.lax.scan(
         body,
-        (values, sizes, jnp.full((m,), -1, jnp.int32),
+        (values_t, sizes, jnp.full((m,), -1, jnp.int32),
          jnp.arange(m, dtype=jnp.int32)),
         (thresholds, its))
     n_alive = jnp.sum((sizes > 0).astype(jnp.int32))
-    return values, sizes, mi, cs, n_alive
+    return values_t, sizes, mi, cs, n_alive
 
 
 @jax.jit
@@ -366,7 +384,7 @@ def _pack2(a, b):
     return jnp.concatenate([a, b])
 
 
-def _iterate_update(values, sizes, slots, parent, base_rng, thresholds,
+def _iterate_update(values_t, sizes, slots, parent, base_rng, thresholds,
                     iter_offset, rounds, merge, deep_init):
     """Traced core shared by the head/chunk session programs: run
     ``len(thresholds)`` iterations (threshold > 1 ⇒ padding no-op), fold the
@@ -377,7 +395,7 @@ def _iterate_update(values, sizes, slots, parent, base_rng, thresholds,
     slot, identity while alive. Merge decisions are capacity-invariant (see
     ``_combined_sort_key``), so compacting between programs never changes
     results — only the work per iteration."""
-    mi = jnp.full((values.shape[0],), -1, jnp.int32)
+    mi = jnp.full((values_t.shape[1],), -1, jnp.int32)
     cs = slots
     off = 0
     if deep_init:
@@ -385,11 +403,11 @@ def _iterate_update(values, sizes, slots, parent, base_rng, thresholds,
         # TPU analog of the reference's first greedy sweep, kmerLSH.cc:487)
         h = _active_h(sizes)
         hyper = lsh.draw_hyperplanes(jax.random.fold_in(base_rng, 0),
-                                     values.shape[1])
-        keys, proj = lsh.signatures(values, hyper, h)
+                                     values_t.shape[0])
+        keys, proj = lsh.signatures_t(values_t, hyper, h)
         keys = jnp.where(sizes > 0, keys, jnp.int32(BIG_KEY))
-        values, sizes, mi, cs = chain_collapse(
-            values, sizes, keys, proj, thresholds[0], mi, cs, h=h)
+        values_t, sizes, mi, cs = chain_collapse(
+            values_t, sizes, keys, proj, thresholds[0], mi, cs, h=h)
         off = 1
 
     rest = thresholds[off:]
@@ -398,17 +416,17 @@ def _iterate_update(values, sizes, slots, parent, base_rng, thresholds,
             thr, it = x
 
             def run(c):
-                values, sizes, mi, cs = c
+                values_t, sizes, mi, cs = c
                 rng = jax.random.fold_in(base_rng, it)
-                return _one_iteration(values, sizes, rng, thr, rounds, mi,
+                return _one_iteration(values_t, sizes, rng, thr, rounds, mi,
                                       cs, merge)
 
             # padding thresholds (> 1) are TRUE no-ops (see _lsh_cluster_chunk)
             return jax.lax.cond(thr <= 1.0, run, lambda c: c, carry), ()
 
         its = iter_offset + off + jnp.arange(rest.shape[0], dtype=jnp.int32)
-        (values, sizes, mi, cs), _ = jax.lax.scan(
-            body, (values, sizes, mi, cs), (rest, its))
+        (values_t, sizes, mi, cs), _ = jax.lax.scan(
+            body, (values_t, sizes, mi, cs), (rest, its))
 
     # each slot dies at most once per program, so one scatter folds all of
     # this program's merges into the global forest; slots that did not merge
@@ -416,46 +434,47 @@ def _iterate_update(values, sizes, slots, parent, base_rng, thresholds,
     parent = parent.at[cs].set(jnp.where(mi >= 0, mi, parent[cs]))
     order = _compact_order(sizes)
     n_alive = jnp.sum((sizes > 0).astype(jnp.int32))
-    return values[order], sizes[order], cs[order], parent, n_alive
+    return values_t[:, order], sizes[order], cs[order], parent, n_alive
 
 
 @partial(jax.jit, static_argnames=("rounds", "merge", "deep_init"))
 def _head_program(counts, v_kmers, base_rng, thresholds,
                   rounds: int, merge: str, deep_init: bool):
     """Session head: abundance transform (ioMatrix.cc:353-408 semantics)
-    fused with the first iterations. counts uint16 [S, cap]."""
+    fused with the first iterations. counts uint16 [S, cap] — sample-major,
+    exactly the engine's layout: no relayout anywhere."""
     cap = counts.shape[1]
-    c = counts.astype(jnp.float32).T                    # [cap, S]
-    values = jnp.log1p(c) - v_kmers[None, :].astype(jnp.float32)
+    c = counts.astype(jnp.float32)                      # [S, cap]
+    values_t = jnp.log1p(c) - v_kmers[:, None].astype(jnp.float32)
     total = jnp.sum(counts.astype(jnp.int32), axis=0)
     keep = total.astype(jnp.float32) > 0.1 * counts.shape[0]
     sizes = keep.astype(jnp.int32)
     slots = jnp.arange(cap, dtype=jnp.int32)
     parent = jnp.arange(cap, dtype=jnp.int32)
-    return _iterate_update(values, sizes, slots, parent, base_rng,
+    return _iterate_update(values_t, sizes, slots, parent, base_rng,
                            thresholds, jnp.int32(0), rounds, merge, deep_init)
 
 
 @partial(jax.jit, static_argnames=("rounds", "merge"))
-def _chunk_program(values, sizes, slots, parent, base_rng, thresholds,
+def _chunk_program(values_t, sizes, slots, parent, base_rng, thresholds,
                    iter_offset, rounds: int, merge: str):
     """Session middle: a chunk of iterations at the (possibly shrunken)
     current capacity; the parent forest stays at original capacity."""
-    return _iterate_update(values, sizes, slots, parent, base_rng,
+    return _iterate_update(values_t, sizes, slots, parent, base_rng,
                            thresholds, iter_offset, rounds, merge,
                            deep_init=False)
 
 
 @partial(jax.jit, static_argnames=("new_cap",))
-def _slice_state(values, sizes, slots, new_cap: int):
+def _slice_state(values_t, sizes, slots, new_cap: int):
     """Shrink alive-first-compacted state to a smaller capacity (the
     session analog of the reference's shrinking cluster vector): later
     iterations sort/scan/gather proportionally less."""
-    return values[:new_cap], sizes[:new_cap], slots[:new_cap]
+    return values_t[:, :new_cap], sizes[:new_cap], slots[:new_cap]
 
 
 @partial(jax.jit, static_argnames=("fc", "jumps"))
-def _finalize_program(values, sizes, slots, parent, fc: int, jumps: int):
+def _finalize_program(values_t, sizes, slots, parent, fc: int, jumps: int):
     """Resolve merge-forest roots (log-depth pointer jumping; ``2**jumps``
     bounds the chain depth — each merge round deepens chains by ≤ 1) and
     pack everything the host needs into ONE i32 buffer = one device→host
@@ -464,7 +483,8 @@ def _finalize_program(values, sizes, slots, parent, fc: int, jumps: int):
     roots = parent
     for _ in range(jumps):
         roots = roots[roots]
-    vbits = jax.lax.bitcast_convert_type(values[:fc], jnp.int32).reshape(-1)
+    vbits = jax.lax.bitcast_convert_type(
+        values_t[:, :fc], jnp.int32).reshape(-1)
     return jnp.concatenate([sizes[:fc], slots[:fc], roots, vbits])
 
 
@@ -526,7 +546,7 @@ def cluster_counts(
     head_k = min(total, HEAD_ITERS)
     head_thr = np.full(HEAD_ITERS, 9.0, np.float32)
     head_thr[:head_k] = thr[:head_k]
-    values, sizes, slots, parent, na_dev = _head_program(
+    values_t, sizes, slots, parent, na_dev = _head_program(
         jcounts, jv, base_rng, jnp.asarray(head_thr), rounds, merge,
         deep_init)
     it = head_k
@@ -538,7 +558,8 @@ def cluster_counts(
     while it < total:
         new_cap = min(cap, _pad_capacity(max(na, 1)))
         if new_cap < cap:
-            values, sizes, slots = _slice_state(values, sizes, slots, new_cap)
+            values_t, sizes, slots = _slice_state(
+                values_t, sizes, slots, new_cap)
             cap = new_cap
         if cap <= SMALL_CAP:
             c = total - it                    # run everything that remains
@@ -548,8 +569,8 @@ def cluster_counts(
                      1 << max(0, math.ceil(math.log2(max(c, 1)))))
         tpad = np.full(c_prog, 9.0, np.float32)
         tpad[:c] = thr[it:it + c]
-        values, sizes, slots, parent, na_dev = _chunk_program(
-            values, sizes, slots, parent, base_rng, jnp.asarray(tpad),
+        values_t, sizes, slots, parent, na_dev = _chunk_program(
+            values_t, sizes, slots, parent, base_rng, jnp.asarray(tpad),
             jnp.int32(it), rounds, merge)
         na = int(na_dev)                      # 1 RT per chunk
         it += c
@@ -561,11 +582,11 @@ def cluster_counts(
     jumps = max(6, math.ceil(math.log2(total * rpi + 2)) + 1)
     fc = min(cap, _pad_capacity(max(na, 1)))
     buf = np.asarray(_finalize_program(
-        values, sizes, slots, parent, fc, jumps))   # one pull (1 RT)
+        values_t, sizes, slots, parent, fc, jumps))   # one pull (1 RT)
     final_sizes = buf[:fc]
     final_slots = buf[fc:2 * fc]
     roots_np = buf[2 * fc:2 * fc + cap0][:n]
-    final_vals = buf[2 * fc + cap0:].view(np.float32).reshape(fc, S)
+    final_vals_t = buf[2 * fc + cap0:].view(np.float32).reshape(S, fc)
 
     # group input rows by forest root (alive roots only — filtered rows are
     # their own dead roots and are dropped, matching ioMatrix.cc:381)
@@ -578,7 +599,7 @@ def cluster_counts(
     out = []
     for i in range(na):
         g = members_of_root[int(final_slots[i])]
-        out.append((int(g[0]), final_vals[i], final_sizes[i], g))
+        out.append((int(g[0]), final_vals_t[:, i], final_sizes[i], g))
     out.sort(key=lambda t: t[0])
     centroids = (np.stack([o[1] for o in out]) if out
                  else np.zeros((0, S), np.float32))
@@ -588,8 +609,8 @@ def cluster_counts(
 
 
 @partial(jax.jit, static_argnames=("new_cap",), donate_argnums=(0, 1))
-def _gather_slice(values, sizes, order, new_cap: int):
-    return values[order][:new_cap], sizes[order][:new_cap]
+def _gather_slice(values_t, sizes, order, new_cap: int):
+    return values_t[:, order][:, :new_cap], sizes[order][:new_cap]
 
 
 class MergeForest:
@@ -646,32 +667,39 @@ def cluster(
     thresholds: np.ndarray | None = None,
     init_rounds: int | None = None,
     merge: str = "chain",
+    transposed: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, list[np.ndarray]]:
     """Cluster rows of ``values`` [N, S] with the annealed-threshold LSH loop
     (0.95 → min_similarity over ``iterations``, cluster.cc:190-192,330).
 
     ``values``/``sizes`` may be NumPy or device arrays (device arrays avoid
     any host transfer of the matrix; rows with size 0 are pre-filtered
-    slots). Returns (centroids [K, S], sizes [K], members: per-cluster
-    sorted arrays of input row indices), ordered by smallest member index.
+    slots). With ``transposed=True``, ``values`` is [S, N] sample-major —
+    the engine's native layout, skipping the input relayout entirely.
+    Returns (centroids [K, S], sizes [K], members: per-cluster sorted
+    arrays of input row indices), ordered by smallest member index.
     """
     on_device = isinstance(values, jax.Array)
     if not on_device:
         values = np.asarray(values, dtype=np.float32)
-    n, s = values.shape
+    if transposed:
+        s, n = values.shape
+    else:
+        n, s = values.shape
     if n == 0:
         return np.zeros((0, s), np.float32), np.zeros(0, np.int64), []
 
     cap = _pad_capacity(n)
     if on_device:
-        jvals = jnp.pad(values.astype(jnp.float32), ((0, cap - n), (0, 0)))
+        vt = values if transposed else values.T
+        jvals = jnp.pad(vt.astype(jnp.float32), ((0, 0), (0, cap - n)))
         if sizes is None:
             jsizes = jnp.pad(jnp.ones(n, jnp.int32), (0, cap - n))
         else:
             jsizes = jnp.pad(jnp.asarray(sizes, jnp.int32), (0, cap - n))
     else:
-        host_vals = np.zeros((cap, s), np.float32)
-        host_vals[:n] = values
+        host_vals = np.zeros((s, cap), np.float32)
+        host_vals[:, :n] = values if transposed else values.T
         host_sizes = np.zeros(cap, np.int32)
         host_sizes[:n] = (np.asarray(sizes, np.int32) if sizes is not None
                           else np.ones(n, np.int32))
@@ -765,16 +793,17 @@ def cluster(
     fbuf = np.asarray(_pack2(
         jsizes, jax.lax.bitcast_convert_type(jvals, jnp.int32).reshape(-1)))
     final_sizes = fbuf[:final_cap]
-    final_vals = fbuf[final_cap:].view(np.float32).reshape(final_cap, -1)
+    final_vals_t = fbuf[final_cap:].view(np.float32).reshape(s, final_cap)
     alive_idx = np.nonzero(final_sizes > 0)[0]
 
     roots, members_of_root = forest.groups()
     out = []
     for si in alive_idx:
         g = members_of_root[int(roots[slot_row[si]])]
-        out.append((int(g[0]), final_vals[si], final_sizes[si], g))
+        out.append((int(g[0]), final_vals_t[:, si], final_sizes[si], g))
     out.sort(key=lambda t: t[0])
-    centroids = np.stack([o[1] for o in out]) if out else np.zeros((0, s), np.float32)
+    centroids = np.stack([o[1] for o in out]) if out else np.zeros(
+        (0, s), np.float32)
     out_sizes = np.asarray([o[2] for o in out], np.int64)
     members = [o[3] for o in out]
     return centroids, out_sizes, members

@@ -59,3 +59,19 @@ def signatures(values: jax.Array, hyperplanes: jax.Array, h: jax.Array):
     weights = jnp.where(i < h, jnp.left_shift(1, jnp.maximum(h - 1 - i, 0)), 0)
     keys = jnp.sum(bits * weights[None, :], axis=1, dtype=jnp.int32)
     return keys, p[:, H_MAX]
+
+
+def signatures_t(values_t: jax.Array, hyperplanes: jax.Array, h: jax.Array):
+    """Transposed-layout twin of :func:`signatures`: values_t f32 [S, M].
+
+    The engine keeps cluster profiles sample-major ([S, M]) so the k-mer
+    axis rides the 128-lane dimension — XLA:TPU pads the minor dim of every
+    array to 128 lanes, so an [M, S≈20] layout would carry a ~6× HBM tax on
+    every wide op. Same key packing as :func:`signatures`.
+    """
+    p = jnp.dot(hyperplanes.T, values_t, preferred_element_type=jnp.float32)
+    bits = (p[:H_MAX] >= 0).astype(jnp.int32)
+    i = jnp.arange(H_MAX, dtype=jnp.int32)
+    weights = jnp.where(i < h, jnp.left_shift(1, jnp.maximum(h - 1 - i, 0)), 0)
+    keys = jnp.sum(bits * weights[:, None], axis=0, dtype=jnp.int32)
+    return keys, p[H_MAX]

@@ -21,8 +21,20 @@ def abundance_transform(counts: jax.Array, v_kmers: jax.Array):
 
     Returns (values f32 [batch, num_samples], keep bool [batch]).
     """
-    c = counts.astype(jnp.float32).T  # [batch, S]
-    values = jnp.log1p(c) - v_kmers[None, :].astype(jnp.float32)
+    vt, keep = abundance_transform_t(counts, v_kmers)
+    return vt.T, keep
+
+
+@jax.jit
+def abundance_transform_t(counts: jax.Array, v_kmers: jax.Array):
+    """Transposed twin: returns (values_t f32 [num_samples, batch], keep).
+
+    The count matrix is already sample-major, so this variant is a pure
+    elementwise kernel (no relayout) and matches the engine's [S, M]
+    state layout.
+    """
+    c = counts.astype(jnp.float32)  # [S, batch]
+    values_t = jnp.log1p(c) - v_kmers[:, None].astype(jnp.float32)
     total = jnp.sum(counts.astype(jnp.int32), axis=0)
     keep = total.astype(jnp.float32) > 0.1 * counts.shape[0]
-    return values, keep
+    return values_t, keep

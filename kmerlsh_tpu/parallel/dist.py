@@ -39,7 +39,7 @@ def sharded_cluster_iteration(mesh, rounds: int = 4):
     with merge events in global slot coordinates (-1 padded).
     """
 
-    def local_and_global(values, sizes, rng, h, threshold):
+    def local_and_global(values_t, sizes, rng, h, threshold):
         del h  # recomputed in-graph from the global alive count
         n_alive = jax.lax.psum(jnp.sum((sizes > 0).astype(jnp.int32)), ROWS)
         hh = jnp.clip(
@@ -47,21 +47,21 @@ def sharded_cluster_iteration(mesh, rounds: int = 4):
             .astype(jnp.int32), 1, lsh.H_MAX)
 
         # ---- local phase (per shard) ----
-        hyper = lsh.draw_hyperplanes(rng, values.shape[1])  # replicated draw
-        keys, proj = lsh.signatures(values, hyper, hh)
+        hyper = lsh.draw_hyperplanes(rng, values_t.shape[0])  # replicated
+        keys, proj = lsh.signatures_t(values_t, hyper, hh)
         keys = jnp.where(sizes > 0, keys, jnp.int32(BIG_KEY))
-        values, sizes, mi_l = pairing_merge(
-            values, sizes, keys, proj, threshold, rounds, h=hh)
+        values_t, sizes, mi_l = pairing_merge(
+            values_t, sizes, keys, proj, threshold, rounds, h=hh)
 
-        m_loc = values.shape[0]
+        m_loc = values_t.shape[1]
         my = jax.lax.axis_index(ROWS).astype(jnp.int32)
         base = my * m_loc
         mi_l = jnp.where(mi_l >= 0, mi_l + base, -1)
 
         # ---- global phase: gather survivors' summaries over ICI ----
-        keys2, proj2 = lsh.signatures(values, hyper, hh)
+        keys2, proj2 = lsh.signatures_t(values_t, hyper, hh)
         keys2 = jnp.where(sizes > 0, keys2, jnp.int32(BIG_KEY))
-        g_vals = jax.lax.all_gather(values, ROWS).reshape(-1, values.shape[1])
+        g_vals = jax.lax.all_gather(values_t, ROWS, axis=1, tiled=True)
         g_sizes = jax.lax.all_gather(sizes, ROWS).reshape(-1)
         g_keys = jax.lax.all_gather(keys2, ROWS).reshape(-1)
         g_proj = jax.lax.all_gather(proj2, ROWS).reshape(-1)
@@ -71,17 +71,17 @@ def sharded_cluster_iteration(mesh, rounds: int = 4):
             g_vals, g_sizes, g_keys, g_proj, threshold, rounds, h=hh)
 
         # scatter my shard back out of the merged global state
-        values = jax.lax.dynamic_slice_in_dim(g_vals, my * m_loc, m_loc, 0)
+        values_t = jax.lax.dynamic_slice_in_dim(g_vals, my * m_loc, m_loc, 1)
         sizes = jax.lax.dynamic_slice_in_dim(g_sizes, my * m_loc, m_loc, 0)
 
         n_alive = jax.lax.psum(jnp.sum((sizes > 0).astype(jnp.int32)), ROWS)
-        return values, sizes, mi_l, mi_g, n_alive
+        return values_t, sizes, mi_l, mi_g, n_alive
 
     shmapped = jax.shard_map(
         local_and_global,
         mesh=mesh,
-        in_specs=(P(ROWS, None), P(ROWS), P(), P(), P()),
-        out_specs=(P(ROWS, None), P(ROWS), P(ROWS), P(), P()),
+        in_specs=(P(None, ROWS), P(ROWS), P(), P(), P()),
+        out_specs=(P(None, ROWS), P(ROWS), P(ROWS), P(), P()),
         check_vma=False,
     )
     return jax.jit(shmapped)
@@ -107,6 +107,14 @@ def shard_rows(mesh, array):
     """Place an [N, ...] array row-sharded on the mesh (N must divide by
     the mesh size; the host pads capacity to a multiple)."""
     spec = P(ROWS, *([None] * (array.ndim - 1)))
+    return jax.device_put(array, NamedSharding(mesh, spec))
+
+
+def shard_cols(mesh, array):
+    """Place an [..., N] array sharded on its LAST axis — the layout of the
+    engine's sample-major [S, N] profile matrix (k-mer axis on lanes and
+    across devices)."""
+    spec = P(*([None] * (array.ndim - 1)), ROWS)
     return jax.device_put(array, NamedSharding(mesh, spec))
 
 
@@ -144,12 +152,12 @@ def cluster_sharded(
     )
 
     cap = max(n_dev, ((n + n_dev - 1) // n_dev) * n_dev)
-    host_vals = np.zeros((cap, s), np.float32)
-    host_vals[:n] = values
+    host_vals = np.zeros((s, cap), np.float32)
+    host_vals[:, :n] = values.T
     host_sizes = np.zeros(cap, np.int32)
     host_sizes[:n] = in_sizes
 
-    jvals = shard_rows(mesh, host_vals)
+    jvals = shard_cols(mesh, host_vals)
     jsizes = shard_rows(mesh, host_sizes)
     step = sharded_cluster_iteration(mesh, rounds)
     forest = MergeForest(n)
@@ -176,7 +184,7 @@ def cluster_sharded(
         threshold -= sim_step
 
     final_sizes = np.asarray(jsizes)
-    final_vals = np.asarray(jvals)
+    final_vals_t = np.asarray(jvals)
     alive_idx = np.nonzero(final_sizes > 0)[0]
     roots, members_of_root = forest.groups()
     out = []
@@ -184,7 +192,7 @@ def cluster_sharded(
         if si >= n:
             continue
         g = members_of_root[int(roots[si])]
-        out.append((int(g[0]), final_vals[si], final_sizes[si], g))
+        out.append((int(g[0]), final_vals_t[:, si], final_sizes[si], g))
     out.sort(key=lambda t: t[0])
     centroids = np.stack([o[1] for o in out]) if out else np.zeros((0, s), np.float32)
     out_sizes = np.asarray([o[2] for o in out], np.int64)

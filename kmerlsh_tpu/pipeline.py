@@ -48,7 +48,8 @@ def _cluster_fn(params: HyperParams):
     else:
         from kmerlsh_tpu.cluster import engine
 
-        def run(values, sizes, iterations, min_similarity, seed):
+        def run(values, sizes, iterations, min_similarity, seed,
+                transposed=False):
             # single-iteration batch passes mirror the reference's full
             # greedy bucket collapse (cluster.cc:56-87) with extra pairing
             # rounds: log-depth, no re-sort, so 16 rounds ≈ one greedy pass
@@ -57,7 +58,7 @@ def _cluster_fn(params: HyperParams):
             return engine.cluster(
                 values, sizes=sizes, min_similarity=min_similarity,
                 iterations=iterations, seed=seed, rounds=rounds,
-                verbose=params.verbose)
+                verbose=params.verbose, transposed=transposed)
 
     return run
 
@@ -89,23 +90,27 @@ def init_clustering(
         with stages.stage("read_batch"):
             cmat = countsio.read_count_batch(bin_path, S, kmap_size, offset, bs)
         with stages.stage("transform"):
-            jvalues, keep = transform.abundance_transform(cmat, v)
+            jvalues_t, keep = transform.abundance_transform_t(cmat, v)
         if params.engine == "greedy":
             keep_np = np.asarray(keep)
-            values = np.asarray(jvalues)[keep_np]
+            values = np.asarray(jvalues_t).T[keep_np]
             sizes = None
             ids = (offset + np.nonzero(keep_np)[0]).astype(np.uint64)
+            kw = {}
         else:
-            # stay on device: filtered rows ride along as 0-weight slots
+            # stay on device in the engine's sample-major layout: filtered
+            # rows ride along as 0-weight slots
             import jax.numpy as jnp
 
-            values = jvalues
+            values = jvalues_t
             sizes = keep.astype(jnp.int32)
             ids = (offset + np.arange(bs)).astype(np.uint64)
+            kw = {"transposed": True}
         if params.verbose:
             print(f"batch @{offset}: {bs} rows")
         with stages.stage("cluster_batch"):
-            cents, _, groups = cluster(values, sizes, 1, similarity, seed)
+            cents, _, groups = cluster(values, sizes, 1, similarity, seed,
+                                       **kw)
         seed += 1
         ids_list = [np.sort(ids[g]) for g in groups]
         with stages.stage("save_tmp"):

@@ -8,11 +8,12 @@ from kmerlsh_tpu.cluster import engine
 
 
 def run_chain(values, sizes, keys, proj, threshold, h=5):
-    v, s, mi, cs = engine.chain_collapse(
-        jnp.asarray(values), jnp.asarray(sizes, jnp.int32),
+    # the engine's native layout is sample-major [S, M]
+    vt, s, mi, cs = engine.chain_collapse(
+        jnp.asarray(values).T, jnp.asarray(sizes, jnp.int32),
         jnp.asarray(keys, jnp.int32), jnp.asarray(proj, jnp.float32),
         jnp.float32(threshold), h=jnp.int32(h))
-    return map(np.asarray, (v, s, mi, cs))
+    return map(np.asarray, (vt.T, s, mi, cs))
 
 
 def test_chain_merges_full_bucket_exactly():

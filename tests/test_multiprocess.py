@@ -31,8 +31,9 @@ centers = rng.normal(size=(4, 8)).astype(np.float32)
 X = np.repeat(centers, 16, axis=0) + 0.001 * rng.normal(size=(64, 8)).astype(np.float32)
 sizes = np.ones(64, np.int32)
 
+XT = np.ascontiguousarray(X.T)  # engine layout: sample-major [S, N]
 xs = jax.make_array_from_process_local_data(
-    NamedSharding(mesh, P(ROWS, None)), X[proc_id * 32:(proc_id + 1) * 32])
+    NamedSharding(mesh, P(None, ROWS)), XT[:, proc_id * 32:(proc_id + 1) * 32])
 ss = jax.make_array_from_process_local_data(
     NamedSharding(mesh, P(ROWS)), sizes[proc_id * 32:(proc_id + 1) * 32])
 
