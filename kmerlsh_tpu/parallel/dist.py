@@ -1,90 +1,409 @@
 """Multi-chip sharded clustering (shard_map over the k-mer row axis).
 
 TPU-native generalization of the reference's out-of-core batch rounds
-(app/kmerLSH.cc:278-430): instead of tmp files, shards. Per iteration:
+(app/kmerLSH.cc:278-430): instead of tmp files, shards. One iteration, all
+inside a single SPMD program:
 
-  1. **local phase** — each device computes LSH signatures of its row shard
-     against *replicated* hyperplanes (same global key space on every
-     device) and runs the vectorized pairing merge locally;
-  2. **global phase** — survivors (centroid, size, key) are ``all_gather``-ed
-     over ICI (they shrink ~orders of magnitude after local merging — the
-     raw count matrix never moves) and a replicated pairing merge joins
-     clusters that share a global bucket across shards;
-  3. bucket-occupancy stats are ``psum``-reduced for the anneal/telemetry.
+  1. **local phase** — each device hashes its row shard against *replicated*
+     hyperplanes (same global key space everywhere) and runs the single-pass
+     chain collapse locally (cluster/engine.py);
+  2. **exchange** — each device selects a FIXED-capacity window of its first
+     ``exchange_cap`` alive survivors (positions via one cumsum +
+     searchsorted, no extra sort) and ``all_gather``s only (centroid, size,
+     slot-id) summaries over ICI: per-device gathered bytes are
+     O(devices · exchange_cap · samples), **independent of the total row
+     count** — the raw matrix never moves;
+  3. **global phase** — a replicated chain collapse joins gathered clusters
+     that share a global LSH bucket across shards; every device computes the
+     identical result, takes back its own slots, and scatters them over its
+     window positions;
+  4. the merge forest is row-sharded on device: each device owns
+     ``parent[gid]`` for its original slot range and folds both local and
+     global merge events into it with one small scatter each.
 
-Merge events are returned in global slot coordinates
-(device_index · local_capacity + local_slot) so the host union-find is
-mesh-agnostic. The final mode-E t-test is a row-sharded mean/variance
-``psum`` (see ``sharded_wrs``).
+Clusters beyond the exchange window simply stay local that iteration and
+get their cross-shard chance on a later one — exactly the reference's
+tmp-file rounds semantics (a batch's clusters only meet other batches'
+in later merge rounds, kmerLSH.cc:354-411), but with summaries over ICI
+instead of files.
+
+Slot ids never migrate between devices, so the parent shard layout is
+static; the host pulls the forest ONCE at the end and resolves roots with
+vectorized pointer jumping.
+
+The final mode-E t-test is a cluster-sharded mean/variance pass
+(``sharded_wrs``).
 """
 
 from __future__ import annotations
 
-from functools import partial
+import math
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from kmerlsh_tpu.cluster.engine import BIG_KEY, pairing_merge
+from kmerlsh_tpu.cluster.engine import BIG_KEY, chain_collapse
 from kmerlsh_tpu.ops import lsh
-from kmerlsh_tpu.parallel.mesh import ROWS
+from kmerlsh_tpu.parallel.mesh import ROWS, make_mesh
+
+EXCHANGE_CAP = 4096   # survivor summaries exchanged per device per iteration
+
+HEAD_ITERS = 3        # iterations fused into the head program
+MID_CHUNK = 4         # iterations per chunk program thereafter
+SMALL_LOCAL_CAP = 1 << 13  # below this per-device capacity, fuse everything
 
 
-def sharded_cluster_iteration(mesh, rounds: int = 4):
-    """Build a jitted one-iteration step over ``mesh``.
+def _window_positions(alive: jax.Array, e: int):
+    """Positions of the first ``e`` alive slots (one cumsum + binary search —
+    no sort). Exhausted entries return ``len(alive)`` (dropped on scatter)."""
+    c = alive.shape[0]
+    ar = jnp.cumsum(alive.astype(jnp.int32))
+    tgt = jnp.arange(1, e + 1, dtype=jnp.int32)
+    pos = jnp.searchsorted(ar, tgt).astype(jnp.int32)
+    valid = tgt <= ar[-1]
+    return jnp.where(valid, pos, jnp.int32(c)), valid
 
-    step(values [N, S] sharded on rows, sizes [N], rng, h, threshold) →
-      (values, sizes, win_local, lose_local, win_global, lose_global)
-    with merge events in global slot coordinates (-1 padded).
-    """
 
-    def local_and_global(values_t, sizes, rng, h, threshold):
-        del h  # recomputed in-graph from the global alive count
-        n_alive = jax.lax.psum(jnp.sum((sizes > 0).astype(jnp.int32)), ROWS)
-        hh = jnp.clip(
-            jnp.floor(jnp.log2(jnp.maximum(n_alive, 2).astype(jnp.float32)))
-            .astype(jnp.int32), 1, lsh.H_MAX)
+def _realign_to(slot_ref: jax.Array, slot_cur: jax.Array):
+    """Permutation ``sel`` with ``slot_cur[sel[p]] == slot_ref[p]`` (both are
+    the same multiset; stable double argsort aligns duplicates in order)."""
+    ord1 = jnp.argsort(slot_cur, stable=True)
+    ord2 = jnp.argsort(slot_ref, stable=True)
+    return ord1[jnp.argsort(ord2, stable=True)]
 
-        # ---- local phase (per shard) ----
-        hyper = lsh.draw_hyperplanes(rng, values_t.shape[0])  # replicated
-        keys, proj = lsh.signatures_t(values_t, hyper, hh)
-        keys = jnp.where(sizes > 0, keys, jnp.int32(BIG_KEY))
-        values_t, sizes, mi_l = pairing_merge(
-            values_t, sizes, keys, proj, threshold, rounds, h=hh)
 
-        m_loc = values_t.shape[1]
+def _one_dist_iteration(values_t, sizes, slots, parent, n_alive, rng,
+                        threshold, e: int, c0_loc: int):
+    """One sharded LSH iteration (runs per device inside shard_map)."""
+    s, c = values_t.shape
+    my = jax.lax.axis_index(ROWS).astype(jnp.int32)
+    base = my * jnp.int32(c0_loc)
+
+    h = jnp.clip(
+        jnp.floor(jnp.log2(jnp.maximum(n_alive, 2).astype(jnp.float32)))
+        .astype(jnp.int32), 1, lsh.H_MAX)
+    hyper = lsh.draw_hyperplanes(rng, s)                     # replicated
+
+    # ---- local phase: hash + single-pass chain collapse on my shard ----
+    keys, proj = lsh.signatures_t(values_t, hyper, h)
+    keys = jnp.where(sizes > 0, keys, jnp.int32(BIG_KEY))
+    values_t, sizes, mi, slots = chain_collapse(
+        values_t, sizes, keys, proj, threshold, None, slots, h=h)
+    li = slots - base                                        # all local gids
+    parent = parent.at[li].set(jnp.where(mi >= 0, mi, parent[li]))
+
+    # ---- exchange: first `e` alive survivors' summaries ----
+    alive = sizes > 0
+    pos, valid = _window_positions(alive, e)
+    posc = jnp.minimum(pos, c - 1)
+    w_vals = values_t[:, posc]
+    w_sizes = jnp.where(valid, sizes[posc], 0)
+    w_slots = jnp.where(valid, slots[posc], jnp.int32(-1))
+
+    g_vals = jax.lax.all_gather(w_vals, ROWS, axis=1, tiled=True)  # [S, D*e]
+    g_sizes = jax.lax.all_gather(w_sizes, ROWS, tiled=True).reshape(-1)
+    g_slots = jax.lax.all_gather(w_slots, ROWS, tiled=True).reshape(-1)
+
+    # ---- global phase: replicated merge of the gathered summaries ----
+    gk, gp = lsh.signatures_t(g_vals, hyper, h)
+    gk = jnp.where(g_sizes > 0, gk, jnp.int32(BIG_KEY))
+    m_vals, m_sizes, m_mi, m_scs = chain_collapse(
+        g_vals, g_sizes, gk, gp, threshold, None, g_slots, h=h)
+
+    # chain_collapse leaves state sorted AND swaps head/last slot ids;
+    # realign by slot identity so position p again holds slot g_slots[p]
+    sel = _realign_to(g_slots, m_scs)
+    r_vals = m_vals[:, sel]
+    r_sizes = m_sizes[sel]
+    r_mi = m_mi[sel]
+
+    # fold global merge events for MY gids into my parent shard
+    gi = g_slots - base
+    ok = (r_mi >= 0) & (gi >= 0) & (gi < c0_loc)
+    gsafe = jnp.where(ok, gi, 0)
+    parent = parent.at[gsafe].set(jnp.where(ok, r_mi, parent[gsafe]))
+
+    # write my post-merge window back over my window positions
+    mv = jax.lax.dynamic_slice_in_dim(r_vals, my * e, e, axis=1)
+    ms = jax.lax.dynamic_slice_in_dim(r_sizes, my * e, e, axis=0)
+    values_t = values_t.at[:, pos].set(mv, mode="drop")
+    sizes = sizes.at[pos].set(ms, mode="drop")
+
+    n_alive = jax.lax.psum(jnp.sum((sizes > 0).astype(jnp.int32)), ROWS)
+    return values_t, sizes, slots, parent, n_alive
+
+
+def _scan_iters(values_t, sizes, slots, parent, rng, thresholds, it_offset,
+                e: int, c0_loc: int):
+    """Run ``len(thresholds)`` sharded iterations as one lax.scan; padding
+    thresholds (> 1) are true no-ops (cond-skipped — the predicate is
+    replicated, so all devices branch identically)."""
+    na0 = jax.lax.psum(jnp.sum((sizes > 0).astype(jnp.int32)), ROWS)
+
+    def body(carry, x):
+        thr, it = x
+
+        def run(c):
+            vt, sz, sl, par, na = c
+            return _one_dist_iteration(
+                vt, sz, sl, par, na, jax.random.fold_in(rng, it), thr,
+                e, c0_loc)
+
+        return jax.lax.cond(thr <= 1.0, run, lambda c: c, carry), ()
+
+    its = it_offset + jnp.arange(thresholds.shape[0], dtype=jnp.int32)
+    (values_t, sizes, slots, parent, na), _ = jax.lax.scan(
+        body, (values_t, sizes, slots, parent, na0), (thresholds, its))
+    max_alive = jax.lax.pmax(jnp.sum((sizes > 0).astype(jnp.int32)), ROWS)
+    return values_t, sizes, slots, parent, na, max_alive
+
+
+@lru_cache(maxsize=8)
+def _dist_programs(mesh, e: int):
+    """Jitted SPMD programs for one (mesh, exchange_cap); cached so repeated
+    pipeline calls reuse XLA executables."""
+
+    def head_body(counts, v_kmers, rng, thresholds):
+        s, c = counts.shape
         my = jax.lax.axis_index(ROWS).astype(jnp.int32)
-        base = my * m_loc
-        mi_l = jnp.where(mi_l >= 0, mi_l + base, -1)
+        base = my * jnp.int32(c)
+        # abundance transform fused in (ioMatrix.cc:353-408 semantics)
+        cf = counts.astype(jnp.float32)
+        values_t = jnp.log1p(cf) - v_kmers[:, None].astype(jnp.float32)
+        total = jnp.sum(counts.astype(jnp.int32), axis=0)
+        sizes = (total.astype(jnp.float32) > 0.1 * s).astype(jnp.int32)
+        slots = jnp.arange(c, dtype=jnp.int32) + base
+        parent = slots
+        return _scan_iters(values_t, sizes, slots, parent, rng, thresholds,
+                           jnp.int32(0), e, c)
 
-        # ---- global phase: gather survivors' summaries over ICI ----
-        keys2, proj2 = lsh.signatures_t(values_t, hyper, hh)
-        keys2 = jnp.where(sizes > 0, keys2, jnp.int32(BIG_KEY))
-        g_vals = jax.lax.all_gather(values_t, ROWS, axis=1, tiled=True)
-        g_sizes = jax.lax.all_gather(sizes, ROWS).reshape(-1)
-        g_keys = jax.lax.all_gather(keys2, ROWS).reshape(-1)
-        g_proj = jax.lax.all_gather(proj2, ROWS).reshape(-1)
+    def head_values_body(values_t, sizes, rng, thresholds):
+        c = values_t.shape[1]
+        my = jax.lax.axis_index(ROWS).astype(jnp.int32)
+        slots = jnp.arange(c, dtype=jnp.int32) + my * jnp.int32(c)
+        parent = slots
+        return _scan_iters(values_t, sizes, slots, parent, rng, thresholds,
+                           jnp.int32(0), e, c)
 
-        # replicated deterministic merge of the gathered summaries
-        g_vals, g_sizes, mi_g = pairing_merge(
-            g_vals, g_sizes, g_keys, g_proj, threshold, rounds, h=hh)
+    def chunk_body(values_t, sizes, slots, parent, rng, thresholds,
+                   it_offset):
+        return _scan_iters(values_t, sizes, slots, parent, rng, thresholds,
+                           it_offset, e, parent.shape[0])
 
-        # scatter my shard back out of the merged global state
-        values_t = jax.lax.dynamic_slice_in_dim(g_vals, my * m_loc, m_loc, 1)
-        sizes = jax.lax.dynamic_slice_in_dim(g_sizes, my * m_loc, m_loc, 0)
+    state_specs = (P(None, ROWS), P(ROWS), P(ROWS), P(ROWS))
+    out_state = state_specs + (P(), P())
 
-        n_alive = jax.lax.psum(jnp.sum((sizes > 0).astype(jnp.int32)), ROWS)
-        return values_t, sizes, mi_l, mi_g, n_alive
+    head = jax.jit(jax.shard_map(
+        head_body, mesh=mesh,
+        in_specs=(P(None, ROWS), P(), P(), P()),
+        out_specs=out_state, check_vma=False))
+    head_values = jax.jit(jax.shard_map(
+        head_values_body, mesh=mesh,
+        in_specs=(P(None, ROWS), P(ROWS), P(), P()),
+        out_specs=out_state, check_vma=False))
+    chunk = jax.jit(jax.shard_map(
+        chunk_body, mesh=mesh,
+        in_specs=state_specs + (P(), P(), P()),
+        out_specs=out_state, check_vma=False))
 
-    shmapped = jax.shard_map(
-        local_and_global,
-        mesh=mesh,
-        in_specs=(P(None, ROWS), P(ROWS), P(), P(), P()),
-        out_specs=(P(None, ROWS), P(ROWS), P(ROWS), P(), P()),
-        check_vma=False,
-    )
-    return jax.jit(shmapped)
+    def slice_body(values_t, sizes, slots, new_c: int):
+        order = jnp.argsort(sizes == 0, stable=True).astype(jnp.int32)
+        return (values_t[:, order][:, :new_c], sizes[order][:new_c],
+                slots[order][:new_c])
+
+    def make_slice(new_c):
+        return jax.jit(jax.shard_map(
+            partial(slice_body, new_c=new_c), mesh=mesh,
+            in_specs=(P(None, ROWS), P(ROWS), P(ROWS)),
+            out_specs=(P(None, ROWS), P(ROWS), P(ROWS)), check_vma=False))
+
+    slice_cache: dict[int, object] = {}
+
+    def slice_to(state, new_c):
+        if new_c not in slice_cache:
+            slice_cache[new_c] = make_slice(new_c)
+        return slice_cache[new_c](*state)
+
+    return head, head_values, chunk, slice_to
+
+
+def _local_cap(n: int, n_dev: int, lo: int = 512) -> int:
+    """Per-device capacity: power-of-two per shard (bounds distinct
+    compiled programs), total = n_dev · cap ≥ n."""
+    per = -(-n // n_dev)
+    return max(lo, 1 << math.ceil(math.log2(max(per, 1))))
+
+
+def _drive(head_fn, head_args, mesh, thresholds, seed, e, verbose,
+           progs) -> tuple:
+    """Shared host loop: head program → chunk programs with per-device
+    capacity shrinking → final compact + pull. Returns
+    (values_t [S, D*Cf] np, sizes, slots, parent, n_alive)."""
+    _, _, chunk, slice_to = progs
+    thr = np.asarray(thresholds, np.float32)
+    total = len(thr)
+    rng = jax.random.PRNGKey(seed)
+    n_dev = mesh.size
+
+    head_k = min(total, HEAD_ITERS)
+    head_thr = np.full(HEAD_ITERS, 9.0, np.float32)
+    head_thr[:head_k] = thr[:head_k]
+    values_t, sizes, slots, parent, na_dev, ma_dev = head_fn(
+        *head_args, rng, jnp.asarray(head_thr))
+    it = head_k
+    na, max_alive = int(na_dev), int(ma_dev)      # 1 pull
+    c_loc = sizes.shape[0] // n_dev
+    if verbose:
+        print(f"[dist] head ({head_k} iters): {na} clusters")
+
+    while it < total:
+        new_c = min(c_loc, _local_cap(max(max_alive, 1), 1))
+        if new_c < c_loc:
+            values_t, sizes, slots = slice_to(
+                (values_t, sizes, slots), new_c)
+            c_loc = new_c
+        if c_loc <= SMALL_LOCAL_CAP:
+            c = total - it
+        else:
+            c = min(MID_CHUNK, total - it)
+        c_prog = max(MID_CHUNK,
+                     1 << max(0, math.ceil(math.log2(max(c, 1)))))
+        tpad = np.full(c_prog, 9.0, np.float32)
+        tpad[:c] = thr[it:it + c]
+        values_t, sizes, slots, parent, na_dev, ma_dev = chunk(
+            values_t, sizes, slots, parent, rng, jnp.asarray(tpad),
+            jnp.int32(it))
+        na, max_alive = int(na_dev), int(ma_dev)
+        it += c
+        if verbose:
+            print(f"[dist] iter {it}: {na} clusters")
+
+    fin_c = min(c_loc, _local_cap(max(max_alive, 1), 1))
+    values_t, sizes, slots = slice_to((values_t, sizes, slots), fin_c)
+    return (np.asarray(values_t), np.asarray(sizes), np.asarray(slots),
+            np.asarray(parent), na)
+
+
+def _assemble(values_t, sizes, slots, parent, n_rows: int):
+    """Host-side root resolution + membership assembly (same contract as
+    cluster.engine.cluster: order by smallest member id)."""
+    r = parent.astype(np.int64)
+    while True:
+        nr = r[r]
+        if np.array_equal(nr, r):
+            break
+        r = nr
+    roots = r[:  len(parent)]
+
+    order = np.argsort(roots[:n_rows], kind="stable")
+    sr = roots[:n_rows][order]
+    starts = np.flatnonzero(np.r_[True, sr[1:] != sr[:-1]])
+    members_of_root = {int(sr[s]): g for s, g in
+                       zip(starts, np.split(order, starts[1:]))}
+
+    s = values_t.shape[0]
+    out = []
+    for i in np.flatnonzero(sizes > 0):
+        gid = int(slots[i])
+        if gid >= n_rows:
+            continue
+        g = members_of_root[gid]
+        out.append((int(g[0]), values_t[:, i], int(sizes[i]), g))
+    out.sort(key=lambda t: t[0])
+    centroids = (np.stack([o[1] for o in out]) if out
+                 else np.zeros((0, s), np.float32))
+    out_sizes = np.asarray([o[2] for o in out], np.int64)
+    members = [o[3] for o in out]
+    return centroids, out_sizes, members
+
+
+def upload_counts_sharded(counts: np.ndarray, mesh) -> tuple[jax.Array, int]:
+    """Pad a uint16 [S, N] count batch to sharded capacity and place it
+    row-sharded on ``mesh``. Returns (device array [S, D·c_loc], N)."""
+    S, n = counts.shape
+    c_loc = _local_cap(n, mesh.size)
+    padded = np.zeros((S, mesh.size * c_loc), np.uint16)
+    padded[:, :n] = counts
+    return jax.device_put(padded, NamedSharding(mesh, P(None, ROWS))), n
+
+
+def cluster_counts_sharded(
+    counts,                      # uint16 [S, N] batch (np) or sharded device
+    v_kmers: np.ndarray,         # f32 [S] coverage offsets
+    thresholds: np.ndarray,      # f32 [I] anneal schedule
+    mesh=None,
+    seed: int = 0,
+    exchange_cap: int = EXCHANGE_CAP,
+    verbose: bool = False,
+    n: int | None = None,        # real column count when counts is on device
+) -> tuple[np.ndarray, np.ndarray, list[np.ndarray]]:
+    """Sharded twin of ``engine.cluster_counts``: transform fused into the
+    head program, row axis sharded over ``mesh``. Same output contract.
+    ``counts`` may be a pre-sharded device array from
+    :func:`upload_counts_sharded` (with ``n``) to amortize the upload."""
+    mesh = mesh or make_mesh()
+    if isinstance(counts, jax.Array):
+        assert n is not None, "pass n (real column count) with device counts"
+        jcounts = counts
+        S = counts.shape[0]
+    else:
+        S, n = counts.shape
+        if n == 0:
+            return np.zeros((0, S), np.float32), np.zeros(0, np.int64), []
+        jcounts, n = upload_counts_sharded(counts, mesh)
+    jv = jnp.asarray(np.asarray(v_kmers, np.float32))
+
+    progs = _dist_programs(mesh, exchange_cap)
+    head = progs[0]
+    pulled = _drive(head, (jcounts, jv), mesh, thresholds, seed,
+                    exchange_cap, verbose, progs)
+    return _assemble(*pulled[:4], n_rows=n)
+
+
+def cluster_sharded(
+    values,
+    sizes=None,
+    mesh=None,
+    min_similarity: float = 0.8,
+    iterations: int = 100,
+    seed: int = 0,
+    thresholds: np.ndarray | None = None,
+    exchange_cap: int = EXCHANGE_CAP,
+    verbose: bool = False,
+    **_ignored,
+) -> tuple[np.ndarray, np.ndarray, list[np.ndarray]]:
+    """Multi-device version of ``cluster.engine.cluster``: same annealed
+    loop (0.95 → min_similarity over ``iterations``, cluster.cc:190-192),
+    row axis sharded over ``mesh``. Same output contract."""
+    mesh = mesh or make_mesh()
+    n_dev = mesh.size
+    values = np.asarray(values, dtype=np.float32)
+    n, s = values.shape
+    if n == 0:
+        return np.zeros((0, s), np.float32), np.zeros(0, np.int64), []
+
+    if thresholds is None:
+        sim_step = (0.95 - min_similarity) / iterations
+        thresholds = (0.95 - sim_step * np.arange(iterations)).astype(
+            np.float32)
+
+    c_loc = _local_cap(n, n_dev)
+    host_vals = np.zeros((s, n_dev * c_loc), np.float32)
+    host_vals[:, :n] = values.T
+    host_sizes = np.zeros(n_dev * c_loc, np.int32)
+    host_sizes[:n] = (np.asarray(sizes, np.int32) if sizes is not None
+                      else np.ones(n, np.int32))
+    jvals = jax.device_put(host_vals, NamedSharding(mesh, P(None, ROWS)))
+    jsizes = jax.device_put(host_sizes, NamedSharding(mesh, P(ROWS)))
+
+    progs = _dist_programs(mesh, exchange_cap)
+    head_values = progs[1]
+    pulled = _drive(head_values, (jvals, jsizes), mesh, thresholds, seed,
+                    exchange_cap, verbose, progs)
+    return _assemble(*pulled[:4], n_rows=n)
 
 
 def sharded_wrs(mesh, n1: int, n2: int, pval_thresh: float, size_thresh: int):
@@ -116,85 +435,3 @@ def shard_cols(mesh, array):
     across devices)."""
     spec = P(*([None] * (array.ndim - 1)), ROWS)
     return jax.device_put(array, NamedSharding(mesh, spec))
-
-
-def cluster_sharded(
-    values,
-    sizes=None,
-    mesh=None,
-    min_similarity: float = 0.8,
-    iterations: int = 100,
-    seed: int = 0,
-    rounds: int = 4,
-    verbose: bool = False,
-):
-    """Multi-device version of ``cluster.engine.cluster``: same annealed
-    loop and host union-find, row axis sharded over ``mesh``.
-
-    Returns (centroids [K, S], sizes [K], members), identical contract to
-    the single-chip engine.
-    """
-    import math
-
-    import numpy as np
-
-    from kmerlsh_tpu.cluster.engine import MergeForest
-    from kmerlsh_tpu.parallel.mesh import make_mesh
-
-    mesh = mesh or make_mesh()
-    n_dev = mesh.size
-    values = np.asarray(values, dtype=np.float32)
-    n, s = values.shape
-    if n == 0:
-        return values, np.zeros(0, np.int64), []
-    in_sizes = (
-        np.asarray(sizes, np.int32) if sizes is not None else np.ones(n, np.int32)
-    )
-
-    cap = max(n_dev, ((n + n_dev - 1) // n_dev) * n_dev)
-    host_vals = np.zeros((s, cap), np.float32)
-    host_vals[:, :n] = values.T
-    host_sizes = np.zeros(cap, np.int32)
-    host_sizes[:n] = in_sizes
-
-    jvals = shard_cols(mesh, host_vals)
-    jsizes = shard_rows(mesh, host_sizes)
-    step = sharded_cluster_iteration(mesh, rounds)
-    forest = MergeForest(n)
-    root = jax.random.PRNGKey(seed)
-
-    sim_step = (0.95 - min_similarity) / iterations
-    threshold = 0.95
-    n_alive = n
-    for it in range(iterations):
-        h = min(max(int(math.floor(math.log2(max(n_alive, 1)))), 0), lsh.H_MAX)
-        rng = jax.random.fold_in(root, it)
-        jvals, jsizes, mi_l, mi_g, na = step(
-            jvals, jsizes, rng, jnp.int32(h), jnp.float32(threshold))
-        for mi in (np.asarray(mi_l), np.asarray(mi_g)):
-            losers = np.flatnonzero((mi >= 0) & (np.arange(len(mi)) < n))
-            winners = mi[losers]
-            ok = winners < n
-            forest.apply_events(np.where(ok, winners, -1),
-                                np.where(ok, losers, 0))
-        n_alive = int(na)
-        if verbose:
-            print(f"[dist] iter {it + 1}: {n_alive} clusters, "
-                  f"threshold {threshold:.4f}")
-        threshold -= sim_step
-
-    final_sizes = np.asarray(jsizes)
-    final_vals_t = np.asarray(jvals)
-    alive_idx = np.nonzero(final_sizes > 0)[0]
-    roots, members_of_root = forest.groups()
-    out = []
-    for si in alive_idx:
-        if si >= n:
-            continue
-        g = members_of_root[int(roots[si])]
-        out.append((int(g[0]), final_vals_t[:, si], final_sizes[si], g))
-    out.sort(key=lambda t: t[0])
-    centroids = np.stack([o[1] for o in out]) if out else np.zeros((0, s), np.float32)
-    out_sizes = np.asarray([o[2] for o in out], np.int64)
-    members = [o[3] for o in out]
-    return centroids, out_sizes, members

@@ -35,6 +35,19 @@ from kmerlsh_tpu.utils.timing import Stages
 _DEVICE_COUNTS_CACHE: dict = {}
 
 
+def _mesh_or_none():
+    """Row-sharding mesh when more than one device is visible (the
+    TPU-native replacement for the reference's single-process OpenMP:
+    the k-mer axis shards over chips, SURVEY §5.7)."""
+    import jax
+
+    if jax.device_count() > 1:
+        from kmerlsh_tpu.parallel.mesh import make_mesh
+
+        return make_mesh()
+    return None
+
+
 def _cluster_fn(params: HyperParams):
     if params.engine == "greedy":
         from kmerlsh_tpu.cluster import greedy
@@ -45,6 +58,13 @@ def _cluster_fn(params: HyperParams):
                 iterations=iterations,
                 bucket_size_threshold=params.bucket_size_threshold,
                 seed=seed, verbose=params.verbose)
+    elif _mesh_or_none() is not None:
+        from kmerlsh_tpu.parallel import dist
+
+        def run(values, sizes, iterations, min_similarity, seed):
+            return dist.cluster_sharded(
+                values, sizes=sizes, min_similarity=min_similarity,
+                iterations=iterations, seed=seed, verbose=params.verbose)
     else:
         from kmerlsh_tpu.cluster import engine
 
@@ -91,7 +111,7 @@ def init_clustering(
             cmat = countsio.read_count_batch(bin_path, S, kmap_size, offset, bs)
         with stages.stage("transform"):
             jvalues_t, keep = transform.abundance_transform_t(cmat, v)
-        if params.engine == "greedy":
+        if params.engine == "greedy" or _mesh_or_none() is not None:
             keep_np = np.asarray(keep)
             values = np.asarray(jvalues_t).T[keep_np]
             sizes = None
@@ -161,18 +181,24 @@ def _fused_single_batch(
     bin_path = os.path.join(params.work_dir, countsio.BIN_NAME)
     S = len(v_kmers)
     v = np.asarray(v_kmers, np.float32)
+    mesh = _mesh_or_none()
     # device-resident input cache: re-clustering the same count matrix
     # (threshold/iteration sweeps, repeated mode-C restarts) skips the
     # host→device transfer — the dominant cost of a warm session
     st = os.stat(bin_path)
     cache_key = (os.path.abspath(bin_path), st.st_mtime_ns, st.st_size,
-                 S, kmap_size)
+                 S, kmap_size, mesh is not None)
     cached = _DEVICE_COUNTS_CACHE.get(cache_key)
     with stages.stage("read_batch"):
         if cached is None:
             cmat = countsio.read_count_batch(
                 bin_path, S, kmap_size, 0, kmap_size)
-            jcounts, n = engine.upload_counts(cmat)
+            if mesh is not None:
+                from kmerlsh_tpu.parallel import dist
+
+                jcounts, n = dist.upload_counts_sharded(cmat, mesh)
+            else:
+                jcounts, n = engine.upload_counts(cmat)
             _DEVICE_COUNTS_CACHE.clear()   # hold at most one matrix
             _DEVICE_COUNTS_CACHE[cache_key] = (jcounts, n)
         else:
@@ -184,9 +210,17 @@ def _fused_single_batch(
         [0.95],                                   # init pass (kmerLSH.cc:487)
         0.95 - sim_step * np.arange(i),           # final anneal
     ]).astype(np.float32)
-    cents, _, groups = engine.cluster_counts(
-        jcounts, v, schedule, seed=params.seed, rounds=params.merge_rounds,
-        deep_init=True, verbose=params.verbose, n=n)
+    if mesh is not None:
+        from kmerlsh_tpu.parallel import dist
+
+        cents, _, groups = dist.cluster_counts_sharded(
+            jcounts, v, schedule, mesh=mesh, seed=params.seed,
+            verbose=params.verbose, n=n)
+    else:
+        cents, _, groups = engine.cluster_counts(
+            jcounts, v, schedule, seed=params.seed,
+            rounds=params.merge_rounds, deep_init=True,
+            verbose=params.verbose, n=n)
     final_ids = [np.sort(g).astype(np.uint64) for g in groups]
     return cents, final_ids
 
@@ -259,8 +293,22 @@ def kmer_cluster(params: HyperParams) -> Stages:
             values, ids_list = clusterio.read_cluster_all(
                 clust_path, len(samples))
             sizes = np.asarray([len(x) for x in ids_list], np.int64)
-            verdicts = np.asarray(ttest.wrs_verdicts(
-                values, sizes, n1, n2, params.pval_thresh, params.size_thresh))
+            mesh = _mesh_or_none()
+            if mesh is not None and len(ids_list) >= mesh.size:
+                from kmerlsh_tpu.parallel import dist
+
+                pad = -len(ids_list) % mesh.size
+                vp = np.pad(values.astype(np.float32), ((0, pad), (0, 0)))
+                sp = np.pad(sizes.astype(np.int32), (0, pad))
+                fn = dist.sharded_wrs(mesh, n1, n2, params.pval_thresh,
+                                      params.size_thresh)
+                verdicts = np.asarray(fn(dist.shard_rows(mesh, vp),
+                                         dist.shard_rows(mesh, sp)))
+                verdicts = verdicts[:len(ids_list)]
+            else:
+                verdicts = np.asarray(ttest.wrs_verdicts(
+                    values, sizes, n1, n2, params.pval_thresh,
+                    params.size_thresh))
         keys = countsio.read_hex(os.path.join(params.work_dir, countsio.HEX_NAME))
         gids1 = [ids for ids, v in zip(ids_list, verdicts) if v == 1]
         gids2 = [ids for ids, v in zip(ids_list, verdicts) if v == 2]

@@ -37,12 +37,16 @@ xs = jax.make_array_from_process_local_data(
 ss = jax.make_array_from_process_local_data(
     NamedSharding(mesh, P(ROWS)), sizes[proc_id * 32:(proc_id + 1) * 32])
 
-step = dist.sharded_cluster_iteration(mesh, rounds=4)
-vals, szs, mi_l, mi_g, na = step(xs, ss, jax.random.PRNGKey(1),
-                                 jnp.int32(5), jnp.float32(0.9))
-for _ in range(4):
-    vals, szs, mi_l, mi_g, na = step(vals, szs, jax.random.PRNGKey(_ + 2),
-                                     jnp.int32(3), jnp.float32(0.9))
+# drive the real sharded programs (head + chunk) across both processes;
+# the replicated n_alive scalar is addressable everywhere
+progs = dist._dist_programs(mesh, 16)
+head_values, chunk = progs[1], progs[2]
+thr = (0.95 - 0.005 * np.arange(8)).astype(np.float32)
+vt, sz, sl, par, na, ma = head_values(
+    xs, ss, jax.random.PRNGKey(1), jnp.asarray(thr[:4]))
+vt, sz, sl, par, na, ma = chunk(
+    vt, sz, sl, par, jax.random.PRNGKey(1), jnp.asarray(thr[4:]),
+    jnp.int32(4))
 print(f"RESULT proc={proc_id} n_alive={int(na)}", flush=True)
 assert int(na) == 4, int(na)
 """
