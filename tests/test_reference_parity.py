@@ -99,6 +99,69 @@ def test_stage_b_parity(ref_binary, workload):
         assert rc == pytest.approx(mc, rel=1e-4)
 
 
+def test_mode_c_end_to_end_vs_reference(ref_binary, workload):
+    """Full-pipeline comparison (VERDICT r1 #3): the reference runs its OWN
+    clustering + t-test + extraction (modes BCE) from the same KMC
+    databases; we run ours. The reference is nondeterministic (hyperplanes
+    from std::random_device, cluster.cc nondeterministic thread interleave),
+    so parity is statistical: extracted-read sets must agree (Jaccard) and
+    both must recover the planted marker reads."""
+    m, names, kmap, tmp_path = workload
+    refdir = tmp_path / "refC"
+    refdir.mkdir()
+    (refdir / "tmp").mkdir()   # the reference never creates tmp_dir
+    run_ref(ref_binary, refdir, m,
+            ["-M", "B", "-I", "20", "-N", "0.85", "-S", "20", "-P", "0.01",
+             "-V", "0.5", "-T", "2", "-F", "refclust.txt"])
+
+    p = HyperParams(
+        input1=m["lists"]["A"], input2=m["lists"]["B"],
+        output1=str(tmp_path / "cmpA"), output2=str(tmp_path / "cmpB"),
+        clust_file_name=str(tmp_path / "cmpclust.txt"),
+        tmp_dir=str(tmp_path / "ctmp"), work_dir=str(tmp_path),
+        k=K, cluster_iteration=20, min_similarity=0.85, size_thresh=20,
+        pval_thresh=0.01, kmer_vote=0.5,
+        kmc=False, bin=True, clustering=True, extracting=True, seed=11,
+    )
+    kmer_cluster(p)
+
+    from kmerlsh_tpu.io import fastq as fastqio
+
+    def read_set(path):
+        return {(r.name, r.seq) for r in fastqio.read_records(path)}
+
+    def as_str(s):
+        return s.decode() if isinstance(s, bytes) else s
+
+    for group, prefix in (("A", "refA"), ("B", "refB")):
+        marker_seqs = m["markers"][group]
+
+        def is_marker_read(seq):
+            return any(as_str(seq) in mk for mk in marker_seqs)
+
+        for fq in m["samples"][group]:
+            base = os.path.basename(fq)
+            ref_reads = read_set(str(refdir / f"{prefix}_{base}"))
+            my_reads = read_set(str(tmp_path / f"cmp{group}_{base}"))
+            inter = len(ref_reads & my_reads)
+            union = len(ref_reads | my_reads)
+            assert union > 0, f"{base}: both extraction sets empty"
+            jac = inter / union
+            assert jac >= 0.7, (
+                f"{base}: read-set Jaccard {jac:.3f} "
+                f"({len(ref_reads)} ref vs {len(my_reads)} mine)")
+
+            # both sides must recover the planted marker reads: a read is a
+            # true marker read iff its sequence is a substring of a marker
+            total_markers = sum(
+                1 for r in fastqio.read_records(fq)
+                if is_marker_read(r.seq)) or 1
+            for who, reads in (("mine", my_reads), ("ref", ref_reads)):
+                tp = sum(1 for _, seq in reads if is_marker_read(seq))
+                assert tp / total_markers >= 0.8, (
+                    f"{base} ({who}): marker recall {tp}/{total_markers}")
+
+
 def test_mode_e_parity(ref_binary, workload):
     m, names, kmap, tmp_path = workload
     # produce ONE clustering result with our pipeline (deterministic), then
