@@ -85,7 +85,11 @@ def read_db(path: str) -> tuple[np.ndarray, np.ndarray, int]:
         total_kmers = int(np.frombuffer(pre[hdr_pos + 28 : hdr_pos + 36], dtype="<u8")[0])
         sig_map_entries = (1 << (2 * sig_len)) + 1
         lut_area = (len(pre) - 4) - (sig_map_entries * 4 + header_offset + 8)
-        lut = np.frombuffer(pre[: lut_area + 8], dtype="<u8")
+        lut = np.frombuffer(pre[: lut_area + 8], dtype="<u8").copy()
+        # the final LUT entry is the CSR end sentinel; the reference
+        # overwrites it with total+1 before listing (kmc_file.cpp:234) —
+        # do the same so garbage there can never claim the last records
+        lut[-1] = total_kmers + 1
     else:
         raise KmcFormatError(f"{path}: unsupported KMC version 0x{version:x}")
 
@@ -173,6 +177,73 @@ def write_db_kmc1(
         # offset -12 (kmc_file.cpp:189-191) reads the high half of the flags
         # word, which is 0 ⇒ version 0. Only header_offset (=40) follows.
         f.write(np.array([40], dtype="<u4").tobytes())
+        f.write(PRE_MARKER)
+    with open(path + ".kmc_suf", "wb") as f:
+        f.write(SUF_MARKER)
+        f.write(recs.tobytes())
+        f.write(SUF_MARKER)
+
+
+def write_db_kmc2(
+    path: str, packed: np.ndarray, counts: np.ndarray, k: int,
+    lut_prefix_len: int | None = None, counter_size: int = 4,
+    signature_len: int = 5, n_bins: int = 1,
+    min_count: int = 1, max_count: int = 0xFFFFFFFF,
+) -> None:
+    """Write a KMC2/KMC3-format (version 0x200) database.
+
+    Format per ``kmc_file.cpp:195-246``: the ``.kmc_pre`` LUT area is ONE
+    flat CSR array over (signature-bin, prefix) slots — ``n_bins · 4^L``
+    starts plus one trailing end sentinel — followed by the signature map
+    (``4^sig_len + 1`` u32, unused for listing), the 37-byte header
+    (k, mode, counter_size, L, sig_len, min, max u32s; total u64;
+    both_strands u8), the version word 0x200, and header_offset = 41.
+    Records are sorted by (bin, prefix, suffix); k-mers land in bins by a
+    deterministic hash here (real KMC uses minimizer signatures — the bin
+    rule is irrelevant to readers, which only walk the CSR). Test fixture
+    for the 0x200 read path; also documents the format."""
+    packed = np.asarray(packed, dtype=np.uint64)
+    counts = np.asarray(counts, dtype=np.uint32)
+    L = lut_prefix_len if lut_prefix_len is not None else _pick_lut_prefix_len(k)
+    if (k - L) % 4:
+        raise ValueError(f"(k - L) = {k - L} must be divisible by 4")
+    sufix_size = (k - L) // 4
+    n = len(packed)
+
+    lex = codec.lex_value(packed, k)
+    bins = ((lex * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(n_bins)).astype(
+        np.int64)
+    order = np.lexsort((lex, bins))
+    lex, counts, bins = lex[order], counts[order], bins[order]
+
+    prefix = (lex >> np.uint64(8 * sufix_size)).astype(np.int64)
+    n_lut = 1 << (2 * L)
+    slot = bins * n_lut + prefix
+    lut = np.zeros(n_bins * n_lut + 1, dtype="<u8")
+    np.cumsum(np.bincount(slot, minlength=n_bins * n_lut), out=lut[1:])
+    # readers overwrite the end sentinel with total+1; prove they must by
+    # writing garbage there (real files hold `total`)
+    lut[-1] = 0xDEADBEEF
+
+    recs = np.zeros((n, sufix_size + counter_size), dtype=np.uint8)
+    for b in range(sufix_size):
+        recs[:, b] = (lex >> np.uint64(8 * (sufix_size - 1 - b))).astype(np.uint8)
+    for b in range(counter_size):
+        recs[:, sufix_size + b] = (counts >> np.uint32(8 * b)).astype(np.uint8)
+
+    sig_map = np.zeros((1 << (2 * signature_len)) + 1, dtype="<u4")
+    header32 = np.array(
+        [k, 0, counter_size, L, signature_len, min_count, max_count],
+        dtype="<u4")
+
+    with open(path + ".kmc_pre", "wb") as f:
+        f.write(PRE_MARKER)
+        f.write(lut.tobytes())
+        f.write(sig_map.tobytes())
+        f.write(header32.tobytes())
+        f.write(np.array([n], dtype="<u8").tobytes())
+        f.write(b"\x00")                                  # both_strands
+        f.write(np.array([0x200, 41], dtype="<u4").tobytes())
         f.write(PRE_MARKER)
     with open(path + ".kmc_suf", "wb") as f:
         f.write(SUF_MARKER)
