@@ -79,7 +79,17 @@ def read_log(path: str) -> tuple[int, list[float]]:
     """Parse kmer_count.log → (kmap_size, raw coverages)."""
     with open(path) as f:
         parts = f.readline().split()
-    return int(parts[0]), [float(x) for x in parts[1:]]
+    try:
+        kmap = int(parts[0])
+        covs = [float(x) for x in parts[1:]]
+    except (IndexError, ValueError) as e:
+        raise ValueError(
+            f"{path}: malformed kmer_count.log (expected "
+            f"'<kmap_size>\\t<cov_1>\\t…', got {' '.join(parts[:4])!r}…)"
+        ) from e
+    if not covs:
+        raise ValueError(f"{path}: no per-sample coverages recorded")
+    return kmap, covs
 
 
 def read_hex(path: str) -> np.ndarray:
@@ -93,5 +103,12 @@ def read_count_batch(
 ) -> np.ndarray:
     """One [num_sample, batch_size] uint16 slice of the sample-major matrix
     (= ``ReadHT``, io/ioHT.cc:59-81)."""
+    expect = num_sample * num_kmer * 2
+    actual = os.path.getsize(path)
+    if actual != expect:
+        raise ValueError(
+            f"{path}: size {actual} B does not match {num_sample} samples × "
+            f"{num_kmer} k-mers × 2 B = {expect} B — truncated kmer_count.bin"
+            f" or wrong kmer_count.log?")
     mm = np.memmap(path, dtype="<u2", mode="r", shape=(num_sample, num_kmer))
     return np.asarray(mm[:, batch_offset : batch_offset + batch_size])

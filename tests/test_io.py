@@ -245,3 +245,31 @@ def test_get_input(tmp_path):
         f.write("a.fastq dbA\n\nb.fastq dbB\n")
     s, n = samples.get_input(p)
     assert s == ["a.fastq", "b.fastq"] and n == ["dbA", "dbB"]
+
+
+def test_get_input_rejects_missing_kmc_name(tmp_path):
+    p = str(tmp_path / "bad.txt")
+    with open(p, "w") as f:
+        f.write("a.fastq dbA\nb.fastq\n")
+    with pytest.raises(ValueError, match="bad.txt:2"):
+        samples.get_input(p)
+
+
+def test_read_log_rejects_malformed(tmp_path):
+    p = str(tmp_path / "kmer_count.log")
+    with open(p, "w") as f:
+        f.write("notanumber\t1.5")
+    with pytest.raises(ValueError, match="malformed"):
+        counts.read_log(p)
+    with open(p, "w") as f:
+        f.write("100")      # kmap but zero coverages
+    with pytest.raises(ValueError, match="no per-sample"):
+        counts.read_log(p)
+
+
+def test_read_count_batch_rejects_truncated(tmp_path):
+    p = str(tmp_path / "kmer_count.bin")
+    np.zeros(10, "<u2").tofile(p)
+    with pytest.raises(ValueError, match="truncated|does not match"):
+        counts.read_count_batch(p, num_sample=3, num_kmer=100,
+                                batch_offset=0, batch_size=10)
