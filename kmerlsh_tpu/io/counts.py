@@ -18,7 +18,6 @@ Formats:
 from __future__ import annotations
 
 import os
-from functools import reduce
 
 import numpy as np
 
@@ -35,37 +34,46 @@ def build_count_matrix(
 ) -> tuple[int, list[float]]:
     """Stage B: union all samples' canonical k-mers, write the three
     artifacts. Returns (kmap_size, v_kmers) where v_kmers[j] =
-    coverage_j / kmap_size (io/ioHT.cc:184)."""
-    sample_keys: list[np.ndarray] = []
-    sample_counts: list[np.ndarray] = []
-    coverages: list[float] = []
+    coverage_j / kmap_size (io/ioHT.cc:184).
+
+    Two streaming passes so memory stays O(union + one sample) instead of
+    O(Σ samples) — the same shape as the reference's KmcRead-then-KmcCount
+    double read (kmer/kmc_reader.cc:26,88): pass 1 folds each database's
+    keys into the running union; pass 2 re-reads each database to emit its
+    uint16 count row against the final union."""
+    union = np.empty(0, np.uint64)
     for name in kmc_names:
         packed, counts, db_k = kmcio.read_db(name)
         if db_k != k:
             raise ValueError(f"{name}: database k={db_k} != requested k={k}")
         keys = codec.canonical_key(packed, k)
-        order = np.argsort(keys, kind="stable")
-        sample_keys.append(keys[order])
-        sample_counts.append(np.minimum(counts[order], 65535).astype(np.uint16))
-        # float64 accumulation (divergence: the reference accumulates float32,
-        # kmc_reader.cc:110,146)
-        coverages.append(float(np.log(counts.astype(np.float64)).sum()))
+        del packed, counts
+        union = np.union1d(union, keys)
         if verbose:
-            print(f"{name}: {len(keys)} kmers, coverage {coverages[-1]:.3f}")
-
-    union = reduce(np.union1d, sample_keys) if sample_keys else np.empty(0, np.uint64)
+            print(f"{name}: {len(keys)} kmers, union {len(union)}")
+        del keys
     kmap_size = len(union)
     if verbose:
         print(f"union size: {kmap_size}")
 
     codec.packed_of_key(union).astype("<u8").tofile(os.path.join(out_dir, HEX_NAME))
 
+    coverages: list[float] = []
     with open(os.path.join(out_dir, BIN_NAME), "wb") as f:
-        for keys, counts in zip(sample_keys, sample_counts):
+        for name in kmc_names:
+            packed, counts, _ = kmcio.read_db(name)
+            keys = codec.canonical_key(packed, k)
+            del packed
             row = np.zeros(kmap_size, dtype="<u2")
-            idx = np.searchsorted(union, keys)
-            row[idx] = counts
+            row[np.searchsorted(union, keys)] = np.minimum(
+                counts, 65535).astype(np.uint16)
             f.write(row.tobytes())
+            # float64 accumulation (divergence: the reference accumulates
+            # float32, kmc_reader.cc:110,146)
+            coverages.append(float(np.log(counts.astype(np.float64)).sum()))
+            if verbose:
+                print(f"{name}: coverage {coverages[-1]:.3f}")
+            del keys, counts, row
 
     with open(os.path.join(out_dir, LOG_NAME), "w") as f:
         f.write(str(kmap_size))

@@ -277,28 +277,30 @@ def run_kmc(
     else:
         if verbose:
             print(f"kmc not found; native-counting {fastq} -> {db_name}")
-        packed, counts = count_fastq([fastq], k, count_min=count_min, cs=65535)
+        packed, counts = count_fastq([fastq], k, count_min=count_min,
+                                     cs=65535, threads=threads)
         write_db_kmc1(db_name, packed, counts, k)
 
 
 def count_fastq(
     paths: Sequence[str], k: int, count_min: int = 2, cs: int = 65535,
-    chunk_reads: int = 1 << 16,
+    chunk_reads: int = 1 << 16, threads: int = 0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Built-in canonical k-mer counter (KMC semantics): k-mers containing
     non-ACGT bases are skipped; counts are over both strands of the canonical
     (lexicographic-min) representative; counts < count_min dropped; counts
     capped at ``cs``. Returns (packed kmers sorted lexicographically, counts).
 
-    Uses the C++ open-addressing counter (native/_native.cc) when built;
-    vectorized NumPy sort-unique fallback otherwise.
+    Uses the C++ key-range-sharded counter (native/_native.cc, ``threads``
+    worker threads; 0 = hardware concurrency) when built; vectorized NumPy
+    sort-unique fallback otherwise.
     """
     try:
         import _kmerlsh_native as native
     except ImportError:
         native = None
     if native is not None:
-        counter = native.KmerCounter(k)
+        counter = native.KmerCounter(k, threads)
         for path in paths:
             rd = native.FastqReader(path)
             while True:

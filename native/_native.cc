@@ -4,10 +4,11 @@
 // TPU-era replacement for the reference's host-side C++ components:
 //   * kseq.h + utils/fastq.cc  -> FastqReader (zlib gzFile streaming,
 //     part-buffered like the reference's 2^16-read parts)
-//   * utils/libcuckoo + kmer/kmc_reader.cc -> KmerCounter (single-threaded
-//     open-addressing uint64->uint32 map over 2-bit packed k-mers; the
-//     device handles all heavy math, so the counter only needs to beat
-//     Python, not OpenMP)
+//   * utils/libcuckoo + kmer/kmc_reader.cc -> KmerCounter (key-range-sharded
+//     open-addressing uint64->uint32 maps over 2-bit packed k-mers; threads
+//     each decode the whole read block and insert only keys whose hash
+//     falls in their shard — the lock-free analog of the reference's
+//     thread-strided OpenMP loops, kmer/kmc_reader.cc:11,96)
 //
 // Plain CPython C API (no pybind11 in the image). Data crosses the
 // boundary as bytes objects; Python wraps them with np.frombuffer.
@@ -21,6 +22,7 @@
 
 #include <algorithm>
 #include <string>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -193,69 +195,80 @@ static PyTypeObject FastqReaderType = {
 
 // ------------------------------------------------------------- KmerCounter
 
+static const uint64_t kEmpty = ~0ULL;
+
+// one open-addressing shard; a shard is only ever touched by one thread
+struct CounterShard {
+  std::vector<uint64_t> keys;
+  std::vector<uint32_t> counts;
+  size_t used = 0;
+
+  CounterShard() : keys(1 << 13, kEmpty), counts(1 << 13, 0) {}
+
+  void grow() {
+    std::vector<uint64_t> old_k;
+    std::vector<uint32_t> old_c;
+    old_k.swap(keys);
+    old_c.swap(counts);
+    size_t ns = old_k.size() * 2;
+    keys.assign(ns, kEmpty);
+    counts.assign(ns, 0);
+    size_t mask = ns - 1;
+    for (size_t j = 0; j < old_k.size(); ++j) {
+      uint64_t key = old_k[j];
+      if (key == kEmpty) continue;
+      size_t i = splitmix64(key) & mask;
+      while (keys[i] != kEmpty) i = (i + 1) & mask;
+      keys[i] = key;
+      counts[i] = old_c[j];
+    }
+  }
+
+  inline void add(uint64_t key) {
+    size_t mask = keys.size() - 1;
+    size_t i = splitmix64(key) & mask;
+    for (;;) {
+      if (keys[i] == key) {
+        if (counts[i] != UINT32_MAX) ++counts[i];
+        return;
+      }
+      if (keys[i] == kEmpty) {
+        keys[i] = key;
+        counts[i] = 1;
+        if (++used * 10 > keys.size() * 7) grow();
+        return;
+      }
+      i = (i + 1) & mask;
+    }
+  }
+};
+
+static const int kShardBits = 3;  // 8 shards
+static const int kNumShards = 1 << kShardBits;
+
 struct KmerCounterObject {
   PyObject_HEAD
   int k;
-  std::vector<uint64_t>* keys;    // open addressing; EMPTY = ~0
-  std::vector<uint32_t>* counts;
-  size_t used;
+  int threads;
+  CounterShard* shards;  // [kNumShards]
 };
 
-static const uint64_t kEmpty = ~0ULL;
-
-static void counter_grow(KmerCounterObject* self);
-
-static inline void counter_add(KmerCounterObject* self, uint64_t key) {
-  std::vector<uint64_t>& ks = *self->keys;
-  std::vector<uint32_t>& cs = *self->counts;
-  size_t mask = ks.size() - 1;
-  size_t i = splitmix64(key) & mask;
-  for (;;) {
-    if (ks[i] == key) {
-      if (cs[i] != UINT32_MAX) ++cs[i];
-      return;
-    }
-    if (ks[i] == kEmpty) {
-      ks[i] = key;
-      cs[i] = 1;
-      if (++self->used * 10 > ks.size() * 7) counter_grow(self);
-      return;
-    }
-    i = (i + 1) & mask;
-  }
-}
-
-static void counter_grow(KmerCounterObject* self) {
-  std::vector<uint64_t>* old_k = self->keys;
-  std::vector<uint32_t>* old_c = self->counts;
-  size_t ns = old_k->size() * 2;
-  self->keys = new std::vector<uint64_t>(ns, kEmpty);
-  self->counts = new std::vector<uint32_t>(ns, 0);
-  size_t mask = ns - 1;
-  for (size_t j = 0; j < old_k->size(); ++j) {
-    uint64_t key = (*old_k)[j];
-    if (key == kEmpty) continue;
-    size_t i = splitmix64(key) & mask;
-    while ((*self->keys)[i] != kEmpty) i = (i + 1) & mask;
-    (*self->keys)[i] = key;
-    (*self->counts)[i] = (*old_c)[j];
-  }
-  delete old_k;
-  delete old_c;
+// shard owner: TOP hash bits (slot index uses the low bits — independent)
+static inline int shard_of(uint64_t key) {
+  return (int)(splitmix64(key) >> (64 - kShardBits));
 }
 
 static void KmerCounter_dealloc(KmerCounterObject* self) {
-  delete self->keys;
-  delete self->counts;
+  delete[] self->shards;
   Py_TYPE(self)->tp_free((PyObject*)self);
 }
 
 static PyObject* KmerCounter_new(PyTypeObject* type, PyObject* args,
                                  PyObject* kwds) {
-  int k = 0;
-  static const char* kwlist[] = {"k", nullptr};
-  if (!PyArg_ParseTupleAndKeywords(args, kwds, "i",
-                                   const_cast<char**>(kwlist), &k))
+  int k = 0, threads = 0;
+  static const char* kwlist[] = {"k", "threads", nullptr};
+  if (!PyArg_ParseTupleAndKeywords(args, kwds, "i|i",
+                                   const_cast<char**>(kwlist), &k, &threads))
     return nullptr;
   if (k < 1 || k > 31) {
     PyErr_SetString(PyExc_ValueError, "k must be in [1, 31]");
@@ -264,15 +277,22 @@ static PyObject* KmerCounter_new(PyTypeObject* type, PyObject* args,
   KmerCounterObject* self = (KmerCounterObject*)type->tp_alloc(type, 0);
   if (!self) return nullptr;
   self->k = k;
-  self->keys = new std::vector<uint64_t>(1 << 16, kEmpty);
-  self->counts = new std::vector<uint32_t>(1 << 16, 0);
-  self->used = 0;
+  if (threads <= 0) {
+    unsigned hc = std::thread::hardware_concurrency();
+    threads = hc ? (int)hc : 1;
+  }
+  self->threads = std::min(threads, kNumShards);
+  self->shards = new CounterShard[kNumShards];
   return (PyObject*)self;
 }
 
 // add(seq_blob: bytes, seq_off: bytes(int64[n+1])) — slides canonical
 // (lexicographic-min) k-mers over each read, skipping windows with
-// non-ACGT bases (KMC semantics).
+// non-ACGT bases (KMC semantics). Two parallel phases, no locks:
+//   1. threads decode disjoint read ranges into per-thread key buffers;
+//   2. threads scan ALL buffers and insert only the keys whose shard they
+//      own (the lock-free analog of the reference's thread-strided OpenMP
+//      loops, kmer/kmc_reader.cc:11,96). Deterministic for any T.
 static PyObject* KmerCounter_add(KmerCounterObject* self, PyObject* args) {
   Py_buffer blob, off;
   if (!PyArg_ParseTuple(args, "y*y*", &blob, &off)) return nullptr;
@@ -281,26 +301,63 @@ static PyObject* KmerCounter_add(KmerCounterObject* self, PyObject* args) {
   Py_ssize_t n_reads = off.len / (Py_ssize_t)sizeof(int64_t) - 1;
   const int k = self->k;
   const uint64_t mask = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+  CounterShard* shards = self->shards;
+  const int n_threads = self->threads;
+
+  auto decode_range = [=](Py_ssize_t r0, Py_ssize_t r1,
+                          std::vector<uint64_t>& out) {
+    for (Py_ssize_t r = r0; r < r1; ++r) {
+      int64_t beg = o[r], end = o[r + 1];
+      uint64_t fwd = 0;
+      int valid_run = 0;
+      for (int64_t i = beg; i < end; ++i) {
+        uint8_t c = kBaseCode[s[i]];
+        if (c > 3) {
+          valid_run = 0;
+          fwd = 0;
+          continue;
+        }
+        fwd = ((fwd >> 2) | ((uint64_t)c << (2 * (k - 1)))) & mask;
+        if (++valid_run >= k) {
+          uint64_t rc = revcomp(fwd, k);
+          out.push_back((lex_value(fwd, k) <= lex_value(rc, k)) ? fwd : rc);
+        }
+      }
+    }
+  };
 
   Py_BEGIN_ALLOW_THREADS
-  for (Py_ssize_t r = 0; r < n_reads; ++r) {
-    int64_t beg = o[r], end = o[r + 1];
-    uint64_t fwd = 0;
-    int valid_run = 0;
-    for (int64_t i = beg; i < end; ++i) {
-      uint8_t c = kBaseCode[s[i]];
-      if (c > 3) {
-        valid_run = 0;
-        fwd = 0;
-        continue;
+  if (n_threads <= 1) {
+    std::vector<uint64_t> buf;
+    buf.reserve((size_t)(o[n_reads] - o[0]));
+    decode_range(0, n_reads, buf);
+    for (uint64_t key : buf) shards[shard_of(key)].add(key);
+  } else {
+    std::vector<std::vector<uint64_t>> bufs(n_threads);
+    {
+      std::vector<std::thread> pool;
+      pool.reserve(n_threads);
+      for (int t = 0; t < n_threads; ++t) {
+        Py_ssize_t r0 = n_reads * t / n_threads;
+        Py_ssize_t r1 = n_reads * (t + 1) / n_threads;
+        bufs[t].reserve((size_t)(o[r1] - o[r0]));
+        pool.emplace_back([&, t, r0, r1] { decode_range(r0, r1, bufs[t]); });
       }
-      fwd = ((fwd >> 2) | ((uint64_t)c << (2 * (k - 1)))) & mask;
-      if (++valid_run >= k) {
-        uint64_t rc = revcomp(fwd, k);
-        uint64_t canon =
-            (lex_value(fwd, k) <= lex_value(rc, k)) ? fwd : rc;
-        counter_add(self, canon);
+      for (auto& th : pool) th.join();
+    }
+    {
+      std::vector<std::thread> pool;
+      pool.reserve(n_threads);
+      for (int t = 0; t < n_threads; ++t) {
+        pool.emplace_back([&, t] {
+          for (const auto& buf : bufs)
+            for (uint64_t key : buf) {
+              int sh = shard_of(key);
+              if (sh % n_threads == t) shards[sh].add(key);
+            }
+        });
       }
+      for (auto& th : pool) th.join();
     }
   }
   Py_END_ALLOW_THREADS
@@ -319,14 +376,19 @@ static PyObject* KmerCounter_finalize(KmerCounterObject* self,
 
   std::vector<std::pair<uint64_t, uint32_t>> out;
   Py_BEGIN_ALLOW_THREADS
-  out.reserve(self->used);
-  for (size_t i = 0; i < self->keys->size(); ++i) {
-    uint64_t key = (*self->keys)[i];
-    if (key == kEmpty) continue;
-    uint32_t c = (*self->counts)[i];
-    if (c < count_min) continue;
-    if (c > cs) c = cs;
-    out.emplace_back(lex_value(key, self->k), c);
+  size_t total = 0;
+  for (int sh = 0; sh < kNumShards; ++sh) total += self->shards[sh].used;
+  out.reserve(total);
+  for (int sh = 0; sh < kNumShards; ++sh) {
+    CounterShard& shard = self->shards[sh];
+    for (size_t i = 0; i < shard.keys.size(); ++i) {
+      uint64_t key = shard.keys[i];
+      if (key == kEmpty) continue;
+      uint32_t c = shard.counts[i];
+      if (c < count_min) continue;
+      if (c > cs) c = cs;
+      out.emplace_back(lex_value(key, self->k), c);
+    }
   }
   std::sort(out.begin(), out.end());
   Py_END_ALLOW_THREADS
@@ -345,7 +407,9 @@ static PyObject* KmerCounter_finalize(KmerCounterObject* self,
 }
 
 static PyObject* KmerCounter_size(KmerCounterObject* self, PyObject*) {
-  return PyLong_FromSize_t(self->used);
+  size_t total = 0;
+  for (int sh = 0; sh < kNumShards; ++sh) total += self->shards[sh].used;
+  return PyLong_FromSize_t(total);
 }
 
 static PyMethodDef KmerCounter_methods[] = {
