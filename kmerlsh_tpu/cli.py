@@ -67,6 +67,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pairing-merge rounds per LSH iteration (tpu engine)")
     p.add_argument("--trace-dir", default="",
                    help="write a jax.profiler trace of the run here")
+    p.add_argument("--read-scorer", choices=["auto", "host", "device"],
+                   default=d.read_scorer,
+                   help="mode-E scorer: on-device kernel or host NumPy")
     return p
 
 
@@ -82,7 +85,7 @@ def params_from_args(argv: list[str]) -> HyperParams:
         pval_thresh=a.pval_thresh, kmer_vote=a.kmer_vote,
         verbose=a.verbose, seed=a.seed, engine=a.engine,
         batch_thresh=a.batch_thresh, merge_rounds=a.merge_rounds,
-        trace_dir=a.trace_dir,
+        trace_dir=a.trace_dir, read_scorer=a.read_scorer,
     )
     params.apply_mode(a.mode, a.only)
     if params.k > 31:

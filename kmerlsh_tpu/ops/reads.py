@@ -9,16 +9,26 @@ Reference semantics (``IOFQ::CheckRead``, io/ioFastQ.cc:5-76):
     differential set; a read is selected iff
     ``hits / (len − k + 1) > kmer_vote`` (strict, :59-64).
 
-Implementation: the whole 65536-read part is scored in one vectorized pass —
-reads are concatenated with k−1 pad bases between them, k-mers slide over the
-flat array, hits come from one ``searchsorted`` against the sorted
-differential key array, and per-read hit counts are cumulative-sum
-differences at read boundaries. Host NumPy for the uint64 key lookups (JAX
-x64 stays off); the flat structure maps 1:1 onto a Pallas kernel for the
-on-device path.
+Two implementations of the same contract:
+
+  * :func:`score_part` — host NumPy: reads are concatenated with k−1 pad
+    bases between them, k-mers slide over the flat array, hits come from one
+    ``searchsorted`` against the sorted differential key array, and per-read
+    hit counts are cumulative-sum differences at read boundaries.
+  * :func:`score_part_device` — the on-device twin: the flat code array is
+    uploaded once per part; k-mers are built as (hi, lo) uint32 word pairs
+    by k static shifted adds (JAX x64 stays off — 62-bit keys live in two
+    lanes); canonicalization re-derives the memcmp key (bswap64 + 2-bit
+    reversal) in paired-word arithmetic; membership is a vectorized
+    lower-bound binary search over the sorted differential keys with
+    lexicographic (hi, lo) compares; votes reduce per read via the same
+    cumsum-difference trick. One bool[reads] comes back per part.
 """
 
 from __future__ import annotations
+
+import math
+from functools import partial
 
 import numpy as np
 
@@ -78,3 +88,170 @@ def score_part(
     # reference also skips empty-sequence reads explicitly (:21-24)
     selected &= np.fromiter((len(s) > 0 for s in seqs), count=n, dtype=bool)
     return selected
+
+
+# --- on-device scorer --------------------------------------------------------
+
+READS_CAP = 1 << 16          # reads per part (utils/fastq.h:36 contract)
+
+
+def _pow2(n: int, lo: int = 1 << 12) -> int:
+    return max(lo, 1 << math.ceil(math.log2(max(n, 1))))
+
+
+def _bswap32(v):
+    import jax.numpy as jnp
+
+    v = v.astype(jnp.uint32)
+    return ((v >> 24) | ((v >> 8) & 0xFF00)
+            | ((v << 8) & 0xFF0000) | (v << 24)).astype(jnp.uint32)
+
+
+def _reverse_bases_pair(hi, lo):
+    """reverse_bases64 on (hi, lo) uint32 word pairs (codec.reverse_bases64
+    semantics: swap 2-bit groups, then bswap64 — which crosses the words)."""
+    import jax.numpy as jnp
+
+    m2 = jnp.uint32(0x33333333)
+    m4 = jnp.uint32(0x0F0F0F0F)
+
+    def swaps(v):
+        v = ((v >> 2) & m2) | ((v & m2) << 2)
+        v = ((v >> 4) & m4) | ((v & m4) << 4)
+        return v
+
+    hi, lo = swaps(hi), swaps(lo)
+    return _bswap32(lo), _bswap32(hi)       # bswap64 swaps the words
+
+
+def _shift_right_pair(hi, lo, s: int):
+    """(hi, lo) uint64 >> s for static 0 ≤ s < 64."""
+    if s == 0:
+        return hi, lo
+    if s < 32:
+        return hi >> s, (lo >> s) | (hi << (32 - s))
+    if s == 32:
+        return hi * 0, hi
+    return hi * 0, hi >> (s - 32)
+
+
+_DEVICE_KERNEL = None   # lazily jitted (this module must import without jax)
+
+
+def _device_score_kernel(codes, win_start, n_win, lens, diff_hi, diff_lo,
+                         n_diff, kmer_vote, k: int):
+    """codes int32 [L] (k−1 zero pads between reads, zero tail), win_start /
+    n_win / lens int32 [READS_CAP], diff_* uint32 [D] sorted by (hi, lo)
+    with all-ones sentinels, n_diff int32 scalar. Returns bool [READS_CAP].
+    """
+    import jax.numpy as jnp
+
+    L = codes.shape[0]
+    nw = L - (k - 1)
+    c = codes.astype(jnp.uint32)
+
+    # packed k-mer (codec layout: base j at bits 2j) in two 32-bit words
+    lo = jnp.zeros((nw,), jnp.uint32)
+    hi = jnp.zeros((nw,), jnp.uint32)
+    for j in range(k):
+        term = c[j : j + nw]
+        if j < 16:
+            lo = lo | (term << (2 * j))
+        else:
+            hi = hi | (term << (2 * (j - 16)))
+
+    # revcomp = reverse_bases64(~packed) >> (64 − 2k)
+    rc_hi, rc_lo = _reverse_bases_pair(~hi, ~lo)
+    rc_hi, rc_lo = _shift_right_pair(rc_hi, rc_lo, 64 - 2 * k)
+
+    # memcmp key = bswap64(packed); canonical = min(key(x), key(rc))
+    kf_hi, kf_lo = _bswap32(lo), _bswap32(hi)
+    kr_hi, kr_lo = _bswap32(rc_lo), _bswap32(rc_hi)
+    f_less = (kf_hi < kr_hi) | ((kf_hi == kr_hi) & (kf_lo <= kr_lo))
+    q_hi = jnp.where(f_less, kf_hi, kr_hi)
+    q_lo = jnp.where(f_less, kf_lo, kr_lo)
+
+    # vectorized lower-bound binary search over (diff_hi, diff_lo)
+    d = diff_hi.shape[0]
+    steps = max(1, math.ceil(math.log2(d)) + 1)
+    lo_i = jnp.zeros((nw,), jnp.int32)
+    hi_i = jnp.full((nw,), n_diff, jnp.int32)
+    for _ in range(steps):
+        mid = (lo_i + hi_i) >> 1
+        mh = diff_hi[mid]
+        ml = diff_lo[mid]
+        less = (mh < q_hi) | ((mh == q_hi) & (ml < q_lo))
+        lo_i = jnp.where(less, mid + 1, lo_i)
+        hi_i = jnp.where(less, hi_i, mid)
+    at = jnp.minimum(lo_i, d - 1)
+    hit = ((lo_i < n_diff) & (diff_hi[at] == q_hi)
+           & (diff_lo[at] == q_lo)).astype(jnp.int32)
+
+    # windows inside the inter-read pads don't count
+    mark = jnp.zeros((nw + 1,), jnp.int32)
+    valid = n_win > 0
+    ws = jnp.where(valid, win_start, nw)
+    mark = mark.at[ws].add(1, mode="drop")
+    mark = mark.at[jnp.where(valid, win_start + n_win, nw)].add(
+        -1, mode="drop")
+    in_read = jnp.cumsum(mark[:-1]) > 0
+    hit = hit * in_read.astype(jnp.int32)
+
+    chit = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(hit)])
+    start_c = jnp.clip(win_start, 0, nw)
+    end_c = jnp.clip(win_start + n_win, 0, nw)
+    counts = chit[end_c] - chit[start_c]
+
+    denom = jnp.maximum(lens - (k - 1), 1).astype(jnp.float32)
+    ratio = counts.astype(jnp.float32) / denom
+    return (lens >= k + 10) & (n_win > 0) & (ratio > kmer_vote)
+
+
+def score_part_device(
+    seqs: list[bytes], diff_keys: np.ndarray, k: int, kmer_vote: float
+) -> np.ndarray:
+    """Device twin of :func:`score_part` (identical selection contract)."""
+    import jax.numpy as jnp
+
+    n = len(seqs)
+    if n == 0 or len(diff_keys) == 0:
+        return np.zeros(n, dtype=bool)
+    if n > READS_CAP:
+        raise ValueError(f"part has {n} reads > {READS_CAP}")
+
+    lens = np.zeros(READS_CAP, np.int32)
+    lens[:n] = [len(s) for s in seqs]
+    pad = np.zeros(k - 1, dtype=np.uint8) if k > 1 else np.empty(0, np.uint8)
+    blobs = []
+    for s in seqs:
+        blobs += [codec.seq_to_codes(s)[0], pad]
+    flat = np.concatenate(blobs) if blobs else np.empty(0, np.uint8)
+
+    L = _pow2(len(flat) + k)     # static capacity: few distinct compiles
+    codes = np.zeros(L, np.int32)
+    codes[: len(flat)] = flat
+
+    starts = np.zeros(READS_CAP, np.int32)
+    starts[:n] = np.concatenate(
+        [[0], np.cumsum(lens[:n] + (k - 1))])[:-1]
+    n_win = np.maximum(lens - k + 1, 0).astype(np.int32)
+    n_win[n:] = 0
+
+    dcap = _pow2(len(diff_keys), lo=2)
+    dh = np.full(dcap, 0xFFFFFFFF, np.uint32)
+    dl = np.full(dcap, 0xFFFFFFFF, np.uint32)
+    dh[: len(diff_keys)] = (diff_keys >> np.uint64(32)).astype(np.uint32)
+    dl[: len(diff_keys)] = (diff_keys & np.uint64(0xFFFFFFFF)).astype(
+        np.uint32)
+
+    global _DEVICE_KERNEL
+    if _DEVICE_KERNEL is None:
+        import jax
+
+        _DEVICE_KERNEL = jax.jit(_device_score_kernel,
+                                 static_argnames=("k",))
+    out = _DEVICE_KERNEL(
+        jnp.asarray(codes), jnp.asarray(starts), jnp.asarray(n_win),
+        jnp.asarray(lens), jnp.asarray(dh), jnp.asarray(dl),
+        jnp.int32(len(diff_keys)), jnp.float32(kmer_vote), k=k)
+    return np.asarray(out)[:n]

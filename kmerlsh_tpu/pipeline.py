@@ -328,19 +328,35 @@ def kmer_cluster(params: HyperParams) -> Stages:
     return stages
 
 
+def _pick_scorer(params: HyperParams):
+    """Mode-E read scorer: host NumPy or the on-device kernel
+    (ops/reads.py). ``auto`` uses the device when a real accelerator backs
+    jax — on CPU-only hosts the upload buys nothing."""
+    if params.read_scorer == "device":
+        return readops.score_part_device
+    if params.read_scorer == "host":
+        return readops.score_part
+    import jax
+
+    return (readops.score_part_device
+            if jax.default_backend() not in ("cpu",)
+            else readops.score_part)
+
+
 def _extract_group(
     sample_files: list[str], diff_keys: np.ndarray, out_prefix: str,
     params: HyperParams,
 ) -> None:
     """= ``IOFQ::Extracting`` (io/ioFastQ.cc:161-195): one output file per
     sample named ``{out_prefix}_{basename(sample)}``."""
+    score = _pick_scorer(params)
     for path in sample_files:
         out = f"{out_prefix}_{os.path.basename(path)}"
         if params.verbose:
             print(f"writing to {out}")
         with open(out, "wb") as f:
             for part in fastqio.read_parts([path]):
-                mask = readops.score_part(
+                mask = score(
                     [r.seq for r in part], diff_keys, params.k,
                     params.kmer_vote)
                 fastqio.write_fastq(f, (r for r, m in zip(part, mask) if m))

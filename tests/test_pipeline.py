@@ -164,6 +164,38 @@ def test_score_part_reference_semantics():
     assert list(sel3) == [False]
 
 
+def test_score_part_device_matches_host():
+    """The on-device scorer must reproduce the host scorer bit-for-bit on
+    random reads across k values (including k > 16, where keys span both
+    32-bit device words)."""
+    rng = np.random.default_rng(7)
+    for k in (7, 11, 16, 23, 31):
+        marker = "".join(rng.choice(list("ACGT"), size=80))
+        codes, _ = codec.seq_to_codes(marker.encode())
+        diff = np.unique(
+            codec.canonical_key(codec.sliding_kmers(codes, k), k))
+        seqs = []
+        for _ in range(300):
+            ln = int(rng.integers(0, 90))
+            if rng.random() < 0.4:
+                start = int(rng.integers(0, 40))
+                s = marker[start : start + ln]
+            else:
+                s = "".join(rng.choice(list("ACGTN"), size=ln))
+            seqs.append(s.encode())
+        seqs.append(b"")
+        for vote in (0.3, 0.5, 1.0):
+            host = readops.score_part(seqs, diff, k, vote)
+            dev = readops.score_part_device(seqs, diff, k, vote)
+            assert np.array_equal(host, dev), (k, vote)
+
+
+def test_score_part_device_empty_diff():
+    assert list(readops.score_part_device([b"ACGTACGTACGTACGTACGT"],
+                                          np.empty(0, np.uint64), 7,
+                                          0.5)) == [False]
+
+
 def test_score_part_n_bases_encode_as_A():
     # non-ACGT encodes as 'A' in read k-mers (no skipping) — a read of N's
     # matches a poly-A differential set
