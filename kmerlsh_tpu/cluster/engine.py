@@ -194,6 +194,47 @@ def pairing_merge(
     return svt[:, inv], ssize[inv], smi[inv]
 
 
+def _shift(x, d: int, fill=0):
+    """out[i] = x[i-d] for a static d ≥ 1 (contiguous pad+slice — no
+    gathers, the TPU-friendly primitive for log-step scans)."""
+    return jnp.pad(x[:-d], (d, 0), constant_values=fill)
+
+
+def _seg_scan(head, w, rows, scs, m: int):
+    """Hillis-Steele segmented scan over positions, fused across lanes:
+    inclusive within-chain sums of ``w`` (i32) and each value row (f32),
+    plus a forward fill of the chain head's ``scs``. Boundaries = ``head``.
+    log2(m) static-shift passes — contiguous slices only, no gathers.
+    Returns (W, rows_sums, head_fill)."""
+    f = head
+    W = w
+    V = rows
+    fill = scs
+    d = 1
+    while d < m:
+        keep = ~f
+        W = W + jnp.where(keep, _shift(W, d), 0)
+        V = tuple(v + jnp.where(keep, _shift(v, d), 0.0) for v in V)
+        fill = jnp.where(f, fill, _shift(fill, d))
+        f = f | _shift(f, d, fill=True)
+        d *= 2
+    return W, V, fill
+
+
+def _rev_fill(last, scs, m: int):
+    """Backward fill: every position gets the ``scs`` of its chain's LAST
+    element (boundaries = ``last``), via the same log-shift scan on
+    reversed arrays."""
+    f = last[::-1]
+    fill = scs[::-1]
+    d = 1
+    while d < m:
+        fill = jnp.where(f, fill, _shift(fill, d))
+        f = f | _shift(f, d, fill=True)
+        d *= 2
+    return fill[::-1]
+
+
 def chain_collapse(
     values_t: jax.Array,   # f32 [S, M]
     sizes: jax.Array,      # i32 [M]  (0 = dead slot)
@@ -206,18 +247,23 @@ def chain_collapse(
 ):
     """Single-pass full bucket collapse: consecutive sorted elements whose
     neighbor cosine ≥ threshold chain together; each chain collapses to a
-    single cluster with the exact size-weighted mean (computed as
-    cumulative-sum differences — weights are integer-exact, value sums are
-    one f32 prefix pass). This is the TPU analog of the reference's one
-    greedy sweep over a bucket (p_cluster, cluster.cc:56-87): O(1) passes
-    instead of O(b) rounds.
+    single cluster with the exact size-weighted mean. This is the TPU analog
+    of the reference's one greedy sweep over a bucket (p_cluster,
+    cluster.cc:56-87): O(1) passes instead of O(b) rounds.
 
-    The surviving centroid is written at the chain's LAST position (not the
-    head): the inclusive prefix sums are complete there, which removes the
-    second wide gather a head-placed centroid would need. The head's stable
-    slot id is what survives — the last position's ``cur_slot`` is swapped
-    with the head's, so the merge forest still records "everyone merged
-    into the chain head" exactly as the reference's greedy sweep does.
+    Data movement is engineered around two measured TPU facts (v5e):
+    a [S, M] column gather costs ~30 ns/column while ONE variadic sort
+    carrying the value rows as payloads costs ~17 ns/element — so ALL
+    permutation happens inside a single ``lax.sort`` (key + S value rows +
+    sizes + slots + merge map), and the within-chain reductions
+    (size-weighted sums, head-slot fill) run as log-step segmented scans of
+    contiguous static shifts. No gathers of the value matrix anywhere.
+
+    The surviving centroid is written at the chain's LAST position: the
+    inclusive segmented sums are complete there. The head's stable slot id
+    is what survives — the last position's ``cur_slot`` is swapped with the
+    head's, so the merge forest still records "everyone merged into the
+    chain head" exactly as the reference's greedy sweep does.
 
     Same output contract as ``pairing_merge(unsort=False)``.
     """
@@ -229,52 +275,47 @@ def chain_collapse(
         cur_slot = jnp.arange(m, dtype=jnp.int32)
 
     combined = _combined_sort_key(keys, proj, sizes, h)
-    order = jnp.argsort(combined, stable=True).astype(jnp.int32)
+    sorted_ops = jax.lax.sort(
+        (combined, sizes, cur_slot, merged_into)
+        + tuple(values_t[i] for i in range(s)),
+        num_keys=1, is_stable=True)
+    scomb, ssize, scs, smi = sorted_ops[:4]
+    rows = sorted_ops[4:]
 
-    skey = keys[order]
-    svt = values_t[:, order]
-    ssize = sizes[order]
-    scs = cur_slot[order]
-    smi = merged_into[order]
-
-    starts = segment.segment_starts(skey)
-    alive = (ssize > 0) & (skey != big)
-    pos = jnp.arange(m, dtype=jnp.int32)
+    # recover the bucket id from the combined key (dead slots map above any
+    # real bucket — see _combined_sort_key)
+    free = jnp.clip(30 - h, 0, 29)
+    bucket = jnp.right_shift(scomb, free)
+    starts = segment.segment_starts(bucket)
+    alive = (ssize > 0) & (scomb != big)
 
     # neighbor similarity with the previous position (all alive elements of
     # a segment are contiguous: dead slots all carry BIG keys)
-    prev_vt = jnp.pad(svt[:, :-1], ((0, 0), (1, 0)))
-    dot = jnp.sum(svt * prev_vt, axis=0)
-    nn = jnp.sqrt(jnp.sum(svt * svt, axis=0)
-                  * jnp.sum(prev_vt * prev_vt, axis=0))
+    prev_rows = tuple(_shift(v, 1, fill=0.0) for v in rows)
+    dot = sum(v * p for v, p in zip(rows, prev_rows))
+    nn = jnp.sqrt(sum(v * v for v in rows) * sum(p * p for p in prev_rows))
     sim = dot / jnp.where(nn > 0, nn, 1.0)
-    prev_alive = jnp.concatenate([jnp.zeros(1, bool), alive[:-1]])
+    prev_alive = _shift(alive, 1, fill=False)
     link = alive & prev_alive & (~starts) & (sim >= threshold)
     head = alive & ~link
     next_link = jnp.concatenate([link[1:], jnp.zeros(1, bool)])
     is_last = alive & ~next_link            # last member of each chain
 
-    # inclusive chain prefix sums via global prefix differences
-    head_pos = jax.lax.cummax(jnp.where(head, pos, jnp.int32(0)))
-    hp1 = jnp.maximum(head_pos - 1, 0)
+    # within-chain inclusive sums + head-slot forward fill, one fused scan
     w = ssize
-    w_cum = jnp.cumsum(w)
-    W = w_cum - jnp.where(head_pos > 0, w_cum[hp1], 0)
-    wv_cum = jnp.cumsum(svt * w[None, :].astype(jnp.float32), axis=1)
-    wv_lo = jnp.where((head_pos > 0)[None, :], wv_cum[:, hp1], 0.0)
-    centroid = (wv_cum - wv_lo) / jnp.maximum(
-        W[None, :].astype(jnp.float32), 1.0)
-
-    new_vt = jnp.where(is_last[None, :], centroid, svt)
+    wf = w.astype(jnp.float32)
+    W, WV, head_scs = _seg_scan(
+        head, w, tuple(v * wf for v in rows), scs, m)
+    denom = jnp.maximum(W, 1).astype(jnp.float32)
+    new_rows = tuple(
+        jnp.where(is_last, wv / denom, v) for wv, v in zip(WV, rows))
+    new_vt = jnp.stack(new_rows)
     new_size = jnp.where(is_last, W, jnp.where(alive, 0, ssize))
 
     # slot bookkeeping: the chain-head SLOT survives (stored at the last
     # position); the last position's original slot moves to the head
     # position and dies there with everyone else
-    head_scs = scs[head_pos]
-    last_pos = jax.lax.cummin(jnp.where(is_last, pos, jnp.int32(m)),
-                              reverse=True)
-    last_scs = scs[jnp.minimum(last_pos, m - 1)]
+    last_scs = _rev_fill(is_last, scs, m)
     new_scs = jnp.where(is_last, head_scs,
                         jnp.where(head, last_scs, scs))
     new_mi = jnp.where(alive & ~is_last, head_scs, smi)
@@ -310,78 +351,21 @@ def _one_iteration(values_t, sizes, rng, threshold, rounds, merged_into,
                          merged_into, h=h, cur_slot=cur_slot, unsort=False)
 
 
-@partial(jax.jit, static_argnames=("rounds",), donate_argnums=(0, 1))
-def _lsh_merge_iteration(values_t, sizes, rng, h, threshold, rounds: int = 4):
-    """Single-iteration slot-stable entry (compile-check / bench paths;
-    ``h`` is accepted for signature stability but recomputed in-graph)."""
-    del h
-    hh = _active_h(sizes)
-    hyper = lsh.draw_hyperplanes(rng, values_t.shape[0])
-    keys, proj = lsh.signatures_t(values_t, hyper, hh)
-    keys = jnp.where(sizes > 0, keys, jnp.int32(BIG_KEY))
-    return pairing_merge(values_t, sizes, keys, proj, threshold, rounds,
-                         h=hh)
-
-
-@partial(jax.jit, donate_argnums=(0, 1))
-def _lsh_chain_iteration(values_t, sizes, rng, threshold):
-    """One deep iteration: hash then single-pass chain collapse."""
-    h = _active_h(sizes)
-    hyper = lsh.draw_hyperplanes(rng, values_t.shape[0])
-    keys, proj = lsh.signatures_t(values_t, hyper, h)
-    keys = jnp.where(sizes > 0, keys, jnp.int32(BIG_KEY))
-    values_t, sizes, mi, cs = chain_collapse(
-        values_t, sizes, keys, proj, threshold, h=h)
-    n_alive = jnp.sum((sizes > 0).astype(jnp.int32))
-    return values_t, sizes, mi, cs, n_alive
-
-
-@partial(jax.jit, static_argnames=("rounds", "merge"), donate_argnums=(0, 1))
-def _lsh_cluster_chunk(values_t, sizes, base_rng, iter_offset, thresholds,
-                       rounds: int = 4, merge: str = "pairing"):
-    """Run ``len(thresholds)`` LSH iterations as one ``lax.scan`` program.
-
-    State lives in permuted position order across iterations (no inverse
-    sorts); ``cur_slot`` maps final positions back to the chunk-entry slot
-    ids. Returns (values_t, sizes, merged_into, cur_slot, n_alive):
-    ``merged_into`` is position-aligned, its values are chunk-entry slot
-    ids of the absorbing cluster (one composed map — each slot dies at
-    most once per chunk)."""
-    m = values_t.shape[1]
-
-    def body(carry, x):
-        thr, it = x
-
-        def run(c):
-            values_t, sizes, mi, cs = c
-            rng = jax.random.fold_in(base_rng, it)
-            return _one_iteration(values_t, sizes, rng, thr, rounds, mi, cs,
-                                  merge)
-
-        # padding thresholds (> 1) are TRUE no-ops — they neither permute
-        # state nor cost a sort, so results are chunk-boundary-invariant
-        return jax.lax.cond(thr <= 1.0, run, lambda c: c, carry), ()
-
-    its = iter_offset + jnp.arange(len(thresholds), dtype=jnp.int32)
-    (values_t, sizes, mi, cs), _ = jax.lax.scan(
-        body,
-        (values_t, sizes, jnp.full((m,), -1, jnp.int32),
-         jnp.arange(m, dtype=jnp.int32)),
-        (thresholds, its))
-    n_alive = jnp.sum((sizes > 0).astype(jnp.int32))
-    return values_t, sizes, mi, cs, n_alive
-
-
 @jax.jit
 def _compact_order(sizes):
     """Stable permutation placing alive slots first."""
     return jnp.argsort(sizes == 0, stable=True).astype(jnp.int32)
 
 
-@jax.jit
-def _pack2(a, b):
-    """Two i32 arrays → one buffer = one device→host transfer."""
-    return jnp.concatenate([a, b])
+def compact_sort(values_t, sizes, slots):
+    """Alive-first stable compaction as ONE payload sort (the [S, M] column
+    gather a permutation would need costs ~2× the whole sort on TPU)."""
+    s = values_t.shape[0]
+    ops = jax.lax.sort(
+        ((sizes == 0).astype(jnp.int32), sizes, slots)
+        + tuple(values_t[i] for i in range(s)),
+        num_keys=1, is_stable=True)
+    return jnp.stack(ops[3:]), ops[1], ops[2]
 
 
 def _iterate_update(values_t, sizes, slots, parent, base_rng, thresholds,
@@ -432,9 +416,9 @@ def _iterate_update(values_t, sizes, slots, parent, base_rng, thresholds,
     # this program's merges into the global forest; slots that did not merge
     # keep their existing parent (they may have died in an earlier program)
     parent = parent.at[cs].set(jnp.where(mi >= 0, mi, parent[cs]))
-    order = _compact_order(sizes)
     n_alive = jnp.sum((sizes > 0).astype(jnp.int32))
-    return values_t[:, order], sizes[order], cs[order], parent, n_alive
+    values_t, sizes, cs = compact_sort(values_t, sizes, cs)
+    return values_t, sizes, cs, parent, n_alive
 
 
 @partial(jax.jit, static_argnames=("rounds", "merge", "deep_init"))
@@ -507,6 +491,78 @@ HEAD_ITERS = 3   # iterations fused into the head program (full capacity)
 MID_CHUNK = 3    # iterations per mid-session chunk while capacity is large
 
 
+@partial(jax.jit, static_argnames=("rounds", "merge", "deep_init"))
+def _head_values_program(values_t, sizes, base_rng, thresholds,
+                         rounds: int, merge: str, deep_init: bool):
+    """Session head for pre-transformed values (the `cluster()` entry):
+    identical dynamics to `_head_program` minus the abundance transform."""
+    cap = values_t.shape[1]
+    slots = jnp.arange(cap, dtype=jnp.int32)
+    parent = jnp.arange(cap, dtype=jnp.int32)
+    return _iterate_update(values_t, sizes, slots, parent, base_rng,
+                           thresholds, jnp.int32(0), rounds, merge, deep_init)
+
+
+def _drive_session(values_t, sizes, slots, parent, na, it, thr, base_rng,
+                   rounds, merge, verbose, cap0, s, n):
+    """Shared host loop after the head program: chunked iterations with
+    capacity compaction, then root resolution + ONE packed pull + host
+    membership grouping. Returns (centroids [K, S], sizes [K], members)."""
+    total = len(thr)
+    cap = values_t.shape[1]
+    while it < total:
+        new_cap = min(cap, _pad_capacity(max(na, 1)))
+        if new_cap < cap:
+            values_t, sizes, slots = _slice_state(
+                values_t, sizes, slots, new_cap)
+            cap = new_cap
+        if cap <= SMALL_CAP:
+            c = total - it                    # run everything that remains
+        else:
+            c = min(MID_CHUNK, total - it)
+        c_prog = max(MID_CHUNK,
+                     1 << max(0, math.ceil(math.log2(max(c, 1)))))
+        tpad = np.full(c_prog, 9.0, np.float32)
+        tpad[:c] = thr[it:it + c]
+        values_t, sizes, slots, parent, na_dev = _chunk_program(
+            values_t, sizes, slots, parent, base_rng, jnp.asarray(tpad),
+            jnp.int32(it), rounds, merge)
+        na = int(na_dev)                      # 1 RT per chunk
+        it += c
+        if verbose:
+            print(f"[tpu] iter {it}: {na} clusters")
+
+    # chains deepen ≤1 per merge round; round up generously
+    rpi = 1 if merge == "chain" else max(rounds, 1)
+    jumps = max(6, math.ceil(math.log2(total * rpi + 2)) + 1)
+    fc = min(cap, _pad_capacity(max(na, 1)))
+    buf = np.asarray(_finalize_program(
+        values_t, sizes, slots, parent, fc, jumps))   # one pull (1 RT)
+    final_sizes = buf[:fc]
+    final_slots = buf[fc:2 * fc]
+    roots_np = buf[2 * fc:2 * fc + cap0][:n]
+    final_vals_t = buf[2 * fc + cap0:].view(np.float32).reshape(s, fc)
+
+    # group input rows by forest root (alive roots only — filtered rows are
+    # their own dead roots and are dropped, matching ioMatrix.cc:381)
+    order = np.argsort(roots_np, kind="stable")
+    sr = roots_np[order]
+    starts = np.flatnonzero(np.r_[True, sr[1:] != sr[:-1]])
+    members_of_root = {int(sr[st]): g for st, g in
+                       zip(starts, np.split(order, starts[1:]))}
+
+    out = []
+    for i in range(na):
+        g = members_of_root[int(final_slots[i])]
+        out.append((int(g[0]), final_vals_t[:, i], final_sizes[i], g))
+    out.sort(key=lambda t: t[0])
+    centroids = (np.stack([o[1] for o in out]) if out
+                 else np.zeros((0, s), np.float32))
+    out_sizes = np.asarray([o[2] for o in out], np.int64)
+    members = [o[3] for o in out]
+    return centroids, out_sizes, members
+
+
 def cluster_counts(
     counts,                      # uint16 [S, N] batch (np) or device [S, cap]
     v_kmers: np.ndarray,         # f32 [S] per-sample coverage offsets
@@ -549,102 +605,11 @@ def cluster_counts(
     values_t, sizes, slots, parent, na_dev = _head_program(
         jcounts, jv, base_rng, jnp.asarray(head_thr), rounds, merge,
         deep_init)
-    it = head_k
     na = int(na_dev)                          # 1 RT
-    cap = cap0
     if verbose:
         print(f"[tpu] head ({head_k} iters): {na} clusters")
-
-    while it < total:
-        new_cap = min(cap, _pad_capacity(max(na, 1)))
-        if new_cap < cap:
-            values_t, sizes, slots = _slice_state(
-                values_t, sizes, slots, new_cap)
-            cap = new_cap
-        if cap <= SMALL_CAP:
-            c = total - it                    # run everything that remains
-        else:
-            c = min(MID_CHUNK, total - it)
-        c_prog = max(MID_CHUNK,
-                     1 << max(0, math.ceil(math.log2(max(c, 1)))))
-        tpad = np.full(c_prog, 9.0, np.float32)
-        tpad[:c] = thr[it:it + c]
-        values_t, sizes, slots, parent, na_dev = _chunk_program(
-            values_t, sizes, slots, parent, base_rng, jnp.asarray(tpad),
-            jnp.int32(it), rounds, merge)
-        na = int(na_dev)                      # 1 RT per chunk
-        it += c
-        if verbose:
-            print(f"[tpu] iter {it}: {na} clusters")
-
-    # chains deepen ≤1 per merge round; round up generously
-    rpi = 1 if merge == "chain" else max(rounds, 1)
-    jumps = max(6, math.ceil(math.log2(total * rpi + 2)) + 1)
-    fc = min(cap, _pad_capacity(max(na, 1)))
-    buf = np.asarray(_finalize_program(
-        values_t, sizes, slots, parent, fc, jumps))   # one pull (1 RT)
-    final_sizes = buf[:fc]
-    final_slots = buf[fc:2 * fc]
-    roots_np = buf[2 * fc:2 * fc + cap0][:n]
-    final_vals_t = buf[2 * fc + cap0:].view(np.float32).reshape(S, fc)
-
-    # group input rows by forest root (alive roots only — filtered rows are
-    # their own dead roots and are dropped, matching ioMatrix.cc:381)
-    order = np.argsort(roots_np, kind="stable")
-    sr = roots_np[order]
-    starts = np.flatnonzero(np.r_[True, sr[1:] != sr[:-1]])
-    members_of_root = {int(sr[s]): g for s, g in
-                       zip(starts, np.split(order, starts[1:]))}
-
-    out = []
-    for i in range(na):
-        g = members_of_root[int(final_slots[i])]
-        out.append((int(g[0]), final_vals_t[:, i], final_sizes[i], g))
-    out.sort(key=lambda t: t[0])
-    centroids = (np.stack([o[1] for o in out]) if out
-                 else np.zeros((0, S), np.float32))
-    out_sizes = np.asarray([o[2] for o in out], np.int64)
-    members = [o[3] for o in out]
-    return centroids, out_sizes, members
-
-
-@partial(jax.jit, static_argnames=("new_cap",), donate_argnums=(0, 1))
-def _gather_slice(values_t, sizes, order, new_cap: int):
-    return values_t[:, order][:, :new_cap], sizes[order][:new_cap]
-
-
-class MergeForest:
-    """Host-side membership forest over input rows, fed by batched merge
-    events. A loser slot dies the moment it merges and never appears again,
-    so ``parent[loser] = winner`` needs no find — event application is one
-    vectorized scatter per chunk."""
-
-    def __init__(self, n: int):
-        self.parent = np.arange(n, dtype=np.int64)
-
-    def apply_events(self, winners: np.ndarray, losers: np.ndarray) -> int:
-        """winners/losers: row indices (-1 winner = padding). Returns #merges."""
-        mask = winners >= 0
-        self.parent[losers[mask]] = winners[mask]
-        return int(mask.sum())
-
-    def resolve(self) -> np.ndarray:
-        """Root row of every input row (vectorized log-depth pointer jump)."""
-        r = self.parent
-        while True:
-            nr = r[r]
-            if np.array_equal(nr, r):
-                return r
-            r = nr
-
-    def groups(self) -> tuple[np.ndarray, dict[int, np.ndarray]]:
-        """Returns (roots per row, {root: sorted member rows})."""
-        roots = self.resolve()
-        order = np.argsort(roots, kind="stable")
-        sr = roots[order]
-        starts = np.flatnonzero(np.r_[True, sr[1:] != sr[:-1]])
-        groups = np.split(order, starts[1:])
-        return roots, {int(sr[s]): g for s, g in zip(starts, groups)}
+    return _drive_session(values_t, sizes, slots, parent, na, head_k, thr,
+                          base_rng, rounds, merge, verbose, cap0, S, n)
 
 
 def _pad_capacity(n: int) -> int:
@@ -676,9 +641,15 @@ def cluster(
     any host transfer of the matrix; rows with size 0 are pre-filtered
     slots). With ``transposed=True``, ``values`` is [S, N] sample-major —
     the engine's native layout, skipping the input relayout entirely.
+    ``init_rounds`` (any non-None value) marks the first threshold as the
+    deep init pass (kmerLSH.cc:487 analog); with the default chain merge
+    every iteration is already a full collapse, so it only matters for
+    ``merge="pairing"``. ``chunk``/``compact_below`` are accepted for
+    back-compat; chunking is governed by the session constants.
     Returns (centroids [K, S], sizes [K], members: per-cluster sorted
     arrays of input row indices), ordered by smallest member index.
     """
+    del chunk, compact_below
     on_device = isinstance(values, jax.Array)
     if not on_device:
         values = np.asarray(values, dtype=np.float32)
@@ -706,104 +677,22 @@ def cluster(
         jvals = jnp.asarray(host_vals)
         jsizes = jnp.asarray(host_sizes)
 
-    forest = MergeForest(n)
-    slot_row = np.full(cap, -1, np.int64)  # device slot -> input row
-    slot_row[:n] = np.arange(n)
-    root_rng = jax.random.PRNGKey(seed)
-
+    base_rng = jax.random.PRNGKey(seed)
     if thresholds is None:
         sim_step = (0.95 - min_similarity) / iterations
-        thresholds = (0.95 - sim_step * np.arange(iterations)).astype(
-            np.float32)
+        thr = (0.95 - sim_step * np.arange(iterations)).astype(np.float32)
     else:
-        thresholds = np.asarray(thresholds, np.float32)
-        iterations = len(thresholds)
+        thr = np.asarray(thresholds, np.float32)
+    total = len(thr)
 
-    it = 0
-    n_alive = n
-    while it < iterations:
-        if init_rounds is not None and it == 0:
-            # first iteration gets the single-pass chain collapse: the TPU
-            # analog of the reference's full greedy bucket sweep on raw rows
-            jvals, jsizes, mi, cs, na = _lsh_chain_iteration(
-                jvals, jsizes, jax.random.fold_in(root_rng, 0),
-                jnp.float32(thresholds[0]))
-            buf = np.asarray(_pack2(mi, cs))
-            mi, cs = buf[:cap], buf[cap:]
-            losers_pos = np.flatnonzero(mi >= 0)
-            forest.apply_events(slot_row[mi[losers_pos]],
-                                slot_row[cs[losers_pos]])
-            slot_row = slot_row[cs]
-            n_alive = int(na)
-            it = 1
-            if verbose:
-                print(f"[tpu] iter 1 (deep): {n_alive} clusters")
-            new_cap = _pad_capacity(n_alive)
-            if (cap > SMALL_CAP and n_alive < compact_below * cap
-                    and new_cap < cap):
-                order = _compact_order(jsizes)
-                perm = np.asarray(order)
-                jvals, jsizes = _gather_slice(jvals, jsizes, order, new_cap)
-                slot_row = slot_row[perm][:new_cap]
-                cap = new_cap
-            continue
-        # pad to a fixed chunk length with an unreachable threshold (>1 ⇒
-        # no merges): at most a few compiled programs per capacity (C=1 for
-        # single-iteration phases, C=chunk / C=SMALL_CHUNK otherwise), and
-        # no wasted no-op hash+sort passes when only one iteration remains
-        c_cap = SMALL_CHUNK if cap <= SMALL_CAP else chunk
-        c = min(c_cap, iterations - it)
-        c_prog = 1 if c == 1 else c_cap
-        thr = np.full(c_prog, 9.0, np.float32)
-        thr[:c] = thresholds[it : it + c]
-        jvals, jsizes, mi, cs, na = _lsh_cluster_chunk(
-            jvals, jsizes, root_rng, jnp.int32(it), jnp.asarray(thr), rounds,
-            merge)
-        buf = np.asarray(_pack2(mi, cs))
-        mi, cs = buf[:cap], buf[cap:]
-        losers_pos = np.flatnonzero(mi >= 0)
-        # mi values are chunk-entry slot ids; positions map via cur_slot
-        forest.apply_events(slot_row[mi[losers_pos]],
-                            slot_row[cs[losers_pos]])
-        slot_row = slot_row[cs]  # re-align host map to permuted positions
-        n_alive = int(na)
-        it += c
-        if verbose:
-            print(f"[tpu] iter {it}: {n_alive} clusters, "
-                  f"threshold {thresholds[min(it, iterations - 1)]:.4f}")
-
-        # compact only while capacities are large: shrinking the sort from
-        # 2^20 to 2^16 pays for itself; below SMALL_CAP the extra dispatch
-        # round trips cost more than the smaller sorts save
-        new_cap = _pad_capacity(n_alive)
-        if (it < iterations and cap > SMALL_CAP
-                and n_alive < compact_below * cap and new_cap < cap):
-            order = _compact_order(jsizes)
-            perm = np.asarray(order)
-            jvals, jsizes = _gather_slice(jvals, jsizes, order, new_cap)
-            slot_row = slot_row[perm][:new_cap]
-            cap = new_cap
-
-    # final on-device compaction, then pull only the alive prefix
-    order = _compact_order(jsizes)
-    perm = np.asarray(order)
-    final_cap = _pad_capacity(n_alive)
-    jvals, jsizes = _gather_slice(jvals, jsizes, order, final_cap)
-    slot_row = slot_row[perm][:final_cap]
-    fbuf = np.asarray(_pack2(
-        jsizes, jax.lax.bitcast_convert_type(jvals, jnp.int32).reshape(-1)))
-    final_sizes = fbuf[:final_cap]
-    final_vals_t = fbuf[final_cap:].view(np.float32).reshape(s, final_cap)
-    alive_idx = np.nonzero(final_sizes > 0)[0]
-
-    roots, members_of_root = forest.groups()
-    out = []
-    for si in alive_idx:
-        g = members_of_root[int(roots[slot_row[si]])]
-        out.append((int(g[0]), final_vals_t[:, si], final_sizes[si], g))
-    out.sort(key=lambda t: t[0])
-    centroids = np.stack([o[1] for o in out]) if out else np.zeros(
-        (0, s), np.float32)
-    out_sizes = np.asarray([o[2] for o in out], np.int64)
-    members = [o[3] for o in out]
-    return centroids, out_sizes, members
+    head_k = min(total, HEAD_ITERS)
+    head_thr = np.full(HEAD_ITERS, 9.0, np.float32)
+    head_thr[:head_k] = thr[:head_k]
+    values_t, jsizes, slots, parent, na_dev = _head_values_program(
+        jvals, jsizes, base_rng, jnp.asarray(head_thr), rounds, merge,
+        init_rounds is not None)
+    na = int(na_dev)
+    if verbose:
+        print(f"[tpu] head ({head_k} iters): {na} clusters")
+    return _drive_session(values_t, jsizes, slots, parent, na, head_k, thr,
+                          base_rng, rounds, merge, verbose, cap, s, n)

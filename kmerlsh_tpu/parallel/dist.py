@@ -210,9 +210,10 @@ def _dist_programs(mesh, e: int):
         out_specs=out_state, check_vma=False))
 
     def slice_body(values_t, sizes, slots, new_c: int):
-        order = jnp.argsort(sizes == 0, stable=True).astype(jnp.int32)
-        return (values_t[:, order][:, :new_c], sizes[order][:new_c],
-                slots[order][:new_c])
+        from kmerlsh_tpu.cluster.engine import compact_sort
+
+        values_t, sizes, slots = compact_sort(values_t, sizes, slots)
+        return values_t[:, :new_c], sizes[:new_c], slots[:new_c]
 
     def make_slice(new_c):
         return jax.jit(jax.shard_map(
