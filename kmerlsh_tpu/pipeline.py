@@ -20,6 +20,7 @@ Documented divergences from the reference:
 
 from __future__ import annotations
 
+import dataclasses
 import os
 
 import numpy as np
@@ -260,6 +261,19 @@ def kmer_cluster(params: HyperParams) -> Stages:
             kmap_size, covs = countsio.read_log(
                 os.path.join(params.work_dir, countsio.LOG_NAME))
             v_kmers = [c / kmap_size for c in covs]
+        # HBM-aware batch size: never let a batch's session exceed device
+        # memory (the reference's 1e8 constant assumed host RAM,
+        # kmerLSH.cc:285,292-295)
+        from kmerlsh_tpu.utils.hbm import rows_budget
+
+        mesh = _mesh_or_none()
+        eff_batch = min(params.batch_thresh,
+                        rows_budget(len(v_kmers),
+                                    mesh.size if mesh is not None else 1))
+        if params.verbose and eff_batch < params.batch_thresh:
+            print(f"batch_thresh {params.batch_thresh} -> {eff_batch} "
+                  f"(device memory budget)")
+        params = dataclasses.replace(params, batch_thresh=eff_batch)
         if params.engine == "tpu" and kmap_size <= params.batch_thresh:
             # fused fast path: the whole matrix fits one batch, so the init
             # pass (1 deep iteration at 0.95) and the final anneal run as a

@@ -214,3 +214,89 @@ def test_fused_session_filters_low_count_rows():
     assert 2 not in covered
     assert 4 not in covered and 5 not in covered
     assert int(sizes.sum()) == 3  # rows 0,1,3 survive
+
+
+def hierarchy(rng, n_base, levels, S, step=0.025):
+    """Anneal-sensitive rows: a binary hierarchy of unit vectors where level
+    l children sit at cos ≈ 0.95 − l·step from their parent, so merges
+    happen across MANY different anneal iterations and the merge forest
+    deepens level by level — the adversarial case for root resolution."""
+    base = rng.normal(size=(n_base, S)).astype(np.float64)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    all_vecs = [base]
+    all_labels = [np.arange(n_base)]
+    cur, cur_lab = base, np.arange(n_base)
+    for lev in range(levels):
+        cos = 0.95 - (lev + 1) * step
+        sin = np.sqrt(1 - cos * cos)
+        kids, kid_lab = [], []
+        for sgn in (1.0, -1.0):
+            orth = rng.normal(size=cur.shape)
+            orth -= (orth * cur).sum(1, keepdims=True) * cur
+            orth /= np.linalg.norm(orth, axis=1, keepdims=True)
+            kids.append(cos * cur + sgn * sin * orth)
+            kid_lab.append(cur_lab)
+        cur = np.concatenate(kids)
+        cur_lab = np.concatenate(kid_lab)
+        all_vecs.append(cur)
+        all_labels.append(cur_lab)
+    vecs = np.concatenate(all_vecs)     # ALL hierarchy nodes, not just leaves
+    labels = np.concatenate(all_labels)
+    perm = rng.permutation(len(vecs))
+    return vecs[perm].astype(np.float32), labels[perm]
+
+
+def test_adversarial_chain_depth_resolves():
+    """Deep merge forests (hierarchy levels merging in different anneal
+    windows over 60 iterations) must still resolve to a correct partition —
+    pins the pointer-jumping bound in the finalize program."""
+    rng = np.random.default_rng(0)
+    X, labels = hierarchy(rng, n_base=4, levels=5, S=16)
+    _, sizes, members = engine.cluster(
+        X, min_similarity=0.70, iterations=60, seed=1)
+    assert sum(len(g) for g in members) == len(X)
+    assert int(sizes.sum()) == len(X)
+    got = partition_of(members, len(X))
+    # clusters never mix base groups, and multi-level merging actually
+    # happened (node count collapses well below the input count)
+    assert len(set(zip(got.tolist(), labels.tolist()))) == len(set(got))
+    assert len(members) < len(X) // 3
+    assert max(len(g) for g in members) >= 8   # chains span ≥3 levels
+
+
+def test_finalize_pointer_jump_bound():
+    """The finalize program's 2^jumps bound must cover the worst legal
+    forest depth (one deepening per iteration): resolve a pure chain of
+    depth = iterations with the engine's own jumps formula."""
+    import math
+
+    import jax.numpy as jnp
+
+    total = 60                          # iterations in the adversarial run
+    jumps = max(6, math.ceil(math.log2(total * 1 + 2)) + 1)
+    cap = 128
+    parent = np.arange(cap, dtype=np.int32)
+    parent[1 : total + 1] = np.arange(total)   # chain: i+1 -> i -> ... -> 0
+    vt = np.zeros((4, cap), np.float32)
+    sizes = np.zeros(cap, np.int32)
+    sizes[0] = total + 1
+    slots = np.arange(cap, dtype=np.int32)
+    buf = np.asarray(engine._finalize_program(
+        jnp.asarray(vt), jnp.asarray(sizes), jnp.asarray(slots),
+        jnp.asarray(parent), cap, jumps))
+    roots = buf[2 * cap : 3 * cap]
+    assert (roots[: total + 1] == 0).all()
+
+
+def test_hbm_rows_budget():
+    from kmerlsh_tpu.utils import hbm
+
+    b = hbm.rows_budget(20, 1)
+    assert b & (b - 1) == 0 and b >= 1 << 16
+    # more devices, more rows; more samples, fewer rows
+    assert hbm.rows_budget(20, 8) >= b
+    assert hbm.rows_budget(100, 1) <= b
+    # v5e numbers: 15.75 GB usable must reject 2^26 x 20 and accept 2^25
+    per = hbm._per_row_bytes(20)
+    assert (1 << 26) * per > 15.75e9 * 0.6
+    assert (1 << 25) * per < 15.75e9
