@@ -27,8 +27,14 @@ class HyperParams:
     cluster_iteration: int = 100  # -I
     min_similarity: float = 0.80  # -N
     k: int = 23                   # -K
-    bucket_size_threshold: int = 1_000_000  # app/kmerLSH.cc:440
-    batch_thresh: int = 100_000_000         # app/kmerLSH.cc:285
+    # oversized-bucket re-partition cutoff (app/kmerLSH.cc:440). Honored by
+    # the greedy oracle engine only: the tpu engine's chain collapse costs
+    # the same regardless of bucket size, so it needs no special case
+    # (cluster/engine.py docstring) and ignores this knob.
+    bucket_size_threshold: int = 1_000_000
+    # out-of-core batch rows (app/kmerLSH.cc:285); additionally clamped at
+    # runtime to the device-memory budget (utils/hbm.py)
+    batch_thresh: int = 100_000_000
 
     # KMC / counting
     threads_to_use: int = 12  # -T

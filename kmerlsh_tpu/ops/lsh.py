@@ -52,6 +52,9 @@ def signatures(values: jax.Array, hyperplanes: jax.Array, h: jax.Array):
 
     Returns (keys int32 [M] using the first h sign bits big-endian,
     proj f32 [M] the secondary projection).
+
+    Row-major convenience twin kept for unit tests and external callers;
+    the engine's hot path uses :func:`signatures_t` (sample-major layout).
     """
     p = jnp.dot(values, hyperplanes, preferred_element_type=jnp.float32)
     bits = (p[:, :H_MAX] >= 0).astype(jnp.int32)

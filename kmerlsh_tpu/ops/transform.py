@@ -20,6 +20,10 @@ def abundance_transform(counts: jax.Array, v_kmers: jax.Array):
     kmer_count.bin); v_kmers: f32 [num_samples].
 
     Returns (values f32 [batch, num_samples], keep bool [batch]).
+
+    Row-major convenience twin kept for unit tests and external callers;
+    the pipeline's hot path uses :func:`abundance_transform_t` (fused into
+    the engine's head program, sample-major layout).
     """
     vt, keep = abundance_transform_t(counts, v_kmers)
     return vt.T, keep
