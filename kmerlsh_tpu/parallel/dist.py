@@ -56,14 +56,22 @@ MID_CHUNK = 4         # iterations per chunk program thereafter
 SMALL_LOCAL_CAP = 1 << 13  # below this per-device capacity, fuse everything
 
 
-def _window_positions(alive: jax.Array, e: int):
-    """Positions of the first ``e`` alive slots (one cumsum + binary search —
-    no sort). Exhausted entries return ``len(alive)`` (dropped on scatter)."""
+def _window_positions(alive: jax.Array, e: int, rot: jax.Array):
+    """Positions of ``e`` alive slots (one cumsum + binary search — no
+    sort). When more than ``e`` slots are alive the window ROTATES with
+    ``rot`` (the iteration index), so every survivor gets a cross-shard
+    exchange within ⌈alive/e⌉ iterations — the coverage guarantee behind
+    the fixed-capacity exchange. Exhausted entries return ``len(alive)``
+    (dropped on scatter)."""
     c = alive.shape[0]
     ar = jnp.cumsum(alive.astype(jnp.int32))
-    tgt = jnp.arange(1, e + 1, dtype=jnp.int32)
-    pos = jnp.searchsorted(ar, tgt).astype(jnp.int32)
-    valid = tgt <= ar[-1]
+    n_local = ar[-1]
+    j = jnp.arange(e, dtype=jnp.int32)
+    # ranks are e consecutive values mod n_local → distinct while e ≤ alive
+    rank = jnp.where(n_local > e,
+                     (j + rot * e) % jnp.maximum(n_local, 1), j)
+    pos = jnp.searchsorted(ar, rank + 1).astype(jnp.int32)
+    valid = j < n_local
     return jnp.where(valid, pos, jnp.int32(c)), valid
 
 
@@ -76,7 +84,7 @@ def _realign_to(slot_ref: jax.Array, slot_cur: jax.Array):
 
 
 def _one_dist_iteration(values_t, sizes, slots, parent, n_alive, rng,
-                        threshold, e: int, c0_loc: int):
+                        threshold, it, e: int, c0_loc: int):
     """One sharded LSH iteration (runs per device inside shard_map)."""
     s, c = values_t.shape
     my = jax.lax.axis_index(ROWS).astype(jnp.int32)
@@ -95,9 +103,9 @@ def _one_dist_iteration(values_t, sizes, slots, parent, n_alive, rng,
     li = slots - base                                        # all local gids
     parent = parent.at[li].set(jnp.where(mi >= 0, mi, parent[li]))
 
-    # ---- exchange: first `e` alive survivors' summaries ----
+    # ---- exchange: a rotating window of `e` alive survivors ----
     alive = sizes > 0
-    pos, valid = _window_positions(alive, e)
+    pos, valid = _window_positions(alive, e, it)
     posc = jnp.minimum(pos, c - 1)
     w_vals = values_t[:, posc]
     w_sizes = jnp.where(valid, sizes[posc], 0)
@@ -149,7 +157,7 @@ def _scan_iters(values_t, sizes, slots, parent, rng, thresholds, it_offset,
         def run(c):
             vt, sz, sl, par, na = c
             return _one_dist_iteration(
-                vt, sz, sl, par, na, jax.random.fold_in(rng, it), thr,
+                vt, sz, sl, par, na, jax.random.fold_in(rng, it), thr, it,
                 e, c0_loc)
 
         return jax.lax.cond(thr <= 1.0, run, lambda c: c, carry), ()
