@@ -200,25 +200,39 @@ def _shift(x, d: int, fill=0):
     return jnp.pad(x[:-d], (d, 0), constant_values=fill)
 
 
-def _seg_scan(head, w, rows, scs, m: int):
-    """Hillis-Steele segmented scan over positions, fused across lanes:
-    inclusive within-chain sums of ``w`` (i32) and each value row (f32),
-    plus a forward fill of the chain head's ``scs``. Boundaries = ``head``.
-    log2(m) static-shift passes — contiguous slices only, no gathers.
-    Returns (W, rows_sums, head_fill)."""
+def _shift2(x, d: int):
+    """Lane-axis twin of :func:`_shift` for [S, M] stacks."""
+    return jnp.pad(x[:, :-d], ((0, 0), (d, 0)))
+
+
+# chains longer than 2**MAX_CHAIN_LOG are cut at fixed position strides:
+# each piece collapses exactly (exact sizes/means) and the pieces merge on
+# the next iteration. This bounds the scan to MAX_CHAIN_LOG levels for ANY
+# capacity — both the op count the remote TPU compiler must chew (unrolled
+# level graphs at 2^26 otherwise take the compiler minutes) and the
+# runtime passes.
+MAX_CHAIN_LOG = 15
+
+
+def _seg_scan(head, w, wv, scs, m: int):
+    """Hillis-Steele segmented scan over positions: inclusive within-chain
+    sums of ``w`` (i32 [M]) and the stacked weighted values ``wv``
+    (f32 [S, M]), plus a forward fill of the chain head's ``scs``.
+    Boundaries = ``head``; chains are pre-cut to ≤ 2**MAX_CHAIN_LOG.
+    Contiguous static shifts only — no gathers. Returns (W, WV, head_fill).
+    """
     f = head
     W = w
-    V = rows
     fill = scs
     d = 1
-    while d < m:
+    for _ in range(min(MAX_CHAIN_LOG, max(m - 1, 1).bit_length())):
         keep = ~f
         W = W + jnp.where(keep, _shift(W, d), 0)
-        V = tuple(v + jnp.where(keep, _shift(v, d), 0.0) for v in V)
+        wv = wv + jnp.where(keep[None, :], _shift2(wv, d), 0.0)
         fill = jnp.where(f, fill, _shift(fill, d))
         f = f | _shift(f, d, fill=True)
         d *= 2
-    return W, V, fill
+    return W, wv, fill
 
 
 def _rev_fill(last, scs, m: int):
@@ -228,7 +242,7 @@ def _rev_fill(last, scs, m: int):
     f = last[::-1]
     fill = scs[::-1]
     d = 1
-    while d < m:
+    for _ in range(min(MAX_CHAIN_LOG, max(m - 1, 1).bit_length())):
         fill = jnp.where(f, fill, _shift(fill, d))
         f = f | _shift(f, d, fill=True)
         d *= 2
@@ -280,7 +294,7 @@ def chain_collapse(
         + tuple(values_t[i] for i in range(s)),
         num_keys=1, is_stable=True)
     scomb, ssize, scs, smi = sorted_ops[:4]
-    rows = sorted_ops[4:]
+    svt = jnp.stack(sorted_ops[4:])         # [S, M], sorted
 
     # recover the bucket id from the combined key (dead slots map above any
     # real bucket — see _combined_sort_key)
@@ -291,25 +305,27 @@ def chain_collapse(
 
     # neighbor similarity with the previous position (all alive elements of
     # a segment are contiguous: dead slots all carry BIG keys)
-    prev_rows = tuple(_shift(v, 1, fill=0.0) for v in rows)
-    dot = sum(v * p for v, p in zip(rows, prev_rows))
-    nn = jnp.sqrt(sum(v * v for v in rows) * sum(p * p for p in prev_rows))
+    prev_vt = _shift2(svt, 1)
+    dot = jnp.sum(svt * prev_vt, axis=0)
+    nn = jnp.sqrt(jnp.sum(svt * svt, axis=0)
+                  * jnp.sum(prev_vt * prev_vt, axis=0))
     sim = dot / jnp.where(nn > 0, nn, 1.0)
     prev_alive = _shift(alive, 1, fill=False)
-    link = alive & prev_alive & (~starts) & (sim >= threshold)
+    pos = jnp.arange(m, dtype=jnp.int32)
+    # stride cut: bound chain length so the segmented scan needs only
+    # MAX_CHAIN_LOG levels; cut pieces re-merge next iteration
+    uncut = (pos & ((1 << MAX_CHAIN_LOG) - 1)) != 0
+    link = alive & prev_alive & (~starts) & uncut & (sim >= threshold)
     head = alive & ~link
     next_link = jnp.concatenate([link[1:], jnp.zeros(1, bool)])
     is_last = alive & ~next_link            # last member of each chain
 
     # within-chain inclusive sums + head-slot forward fill, one fused scan
     w = ssize
-    wf = w.astype(jnp.float32)
     W, WV, head_scs = _seg_scan(
-        head, w, tuple(v * wf for v in rows), scs, m)
+        head, w, svt * w[None, :].astype(jnp.float32), scs, m)
     denom = jnp.maximum(W, 1).astype(jnp.float32)
-    new_rows = tuple(
-        jnp.where(is_last, wv / denom, v) for wv, v in zip(WV, rows))
-    new_vt = jnp.stack(new_rows)
+    new_vt = jnp.where(is_last[None, :], WV / denom[None, :], svt)
     new_size = jnp.where(is_last, W, jnp.where(alive, 0, ssize))
 
     # slot bookkeeping: the chain-head SLOT survives (stored at the last
