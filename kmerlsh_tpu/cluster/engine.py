@@ -560,22 +560,44 @@ def _drive_session(values_t, sizes, slots, parent, na, it, thr, base_rng,
     final_vals_t = buf[2 * fc + cap0:].view(np.float32).reshape(s, fc)
 
     # group input rows by forest root (alive roots only — filtered rows are
-    # their own dead roots and are dropped, matching ioMatrix.cc:381)
-    order = np.argsort(roots_np, kind="stable")
-    sr = roots_np[order]
-    starts = np.flatnonzero(np.r_[True, sr[1:] != sr[:-1]])
-    members_of_root = {int(sr[st]): g for st, g in
-                       zip(starts, np.split(order, starts[1:]))}
+    # their own dead roots and are dropped, matching ioMatrix.cc:381).
+    # Fully vectorized: at design-point scale (1e6+ clusters) any
+    # per-cluster Python loop would dominate the whole session.
+    return _group_by_roots(roots_np, final_slots[:na], final_sizes[:na],
+                           final_vals_t[:, :na])
 
-    out = []
-    for i in range(na):
-        g = members_of_root[int(final_slots[i])]
-        out.append((int(g[0]), final_vals_t[:, i], final_sizes[i], g))
-    out.sort(key=lambda t: t[0])
-    centroids = (np.stack([o[1] for o in out]) if out
-                 else np.zeros((0, s), np.float32))
-    out_sizes = np.asarray([o[2] for o in out], np.int64)
-    members = [o[3] for o in out]
+
+def _group_by_roots(roots, alive_slots, alive_sizes, alive_vals_t):
+    """Assemble (centroids [K, S], sizes [K], members: Groups) from a row →
+    root map plus the alive clusters' (slot, size, centroid) columns.
+    Clusters come back ordered by smallest member id; member ids ascend
+    within each group (a stable argsort of ``roots`` yields both for free).
+    """
+    from kmerlsh_tpu.cluster.groups import Groups
+
+    s = alive_vals_t.shape[0]
+    na = len(alive_slots)
+    if na == 0:
+        return (np.zeros((0, s), np.float32), np.zeros(0, np.int64),
+                Groups(np.empty(0, np.int64), np.zeros(1, np.int64)))
+    order = np.argsort(roots, kind="stable")
+    sr = roots[order]
+    starts = np.flatnonzero(np.r_[True, sr[1:] != sr[:-1]])
+    uniq = sr[starts]
+    glens = np.diff(np.r_[starts, len(sr)])
+
+    gidx = np.searchsorted(uniq, alive_slots)   # every alive slot is a root
+    first_member = order[starts[gidx]]
+    cl_order = np.argsort(first_member, kind="stable")
+    gsel = gidx[cl_order]
+
+    centroids = np.ascontiguousarray(alive_vals_t[:, cl_order].T,
+                                     dtype=np.float32)
+    out_sizes = alive_sizes[cl_order].astype(np.int64)
+    lens = glens[gsel]
+    offs = np.r_[0, np.cumsum(lens)]
+    pos = np.repeat(starts[gsel] - offs[:-1], lens) + np.arange(offs[-1])
+    members = Groups(order[pos].astype(np.int64), offs)
     return centroids, out_sizes, members
 
 

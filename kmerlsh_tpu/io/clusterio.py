@@ -6,72 +6,95 @@ Reference formats (io/ioMatrix.cc):
     are dropped (strict ``>`` at :281).
   * binary — the matching float32 centroid rows, ``num_samples`` floats per
     kept cluster, same order (SaveBinary, ioMatrix.cc:322-351).
+
+Rendering and parsing are vectorized (one NumPy pass over the flat id
+array, no per-id Python format/parse calls): the reference streams each id
+through an ``ofstream`` (ioMatrix.cc:283-287), which is fine for C++ but a
+per-id Python loop at the 1e7-id design point costs minutes.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
+from kmerlsh_tpu.cluster.groups import Groups, as_groups
+
+
+def _render_clust(flat: np.ndarray, sizes: np.ndarray) -> str:
+    """Vectorized ``size\\tid…\\n`` rendering: every token is formatted by
+    NumPy's C-level int→str conversion and assembled positionally."""
+    g = len(sizes)
+    offs = np.concatenate([[0], np.cumsum(sizes)])
+    total = int(offs[-1]) + 2 * g
+    out = np.empty(total, dtype=object)
+    gpos = np.arange(g, dtype=np.int64)
+    out[offs[:-1] + 2 * gpos] = sizes.astype("U20")
+    out[offs[1:] + 2 * gpos + 1] = "\n"
+    egroup = np.repeat(gpos, sizes)
+    out[np.arange(len(flat)) + 2 * egroup + 1] = np.char.add(
+        "\t", flat.astype(np.uint64).astype("U20"))
+    return "".join(out.tolist())
+
 
 def save_result(
-    ids_list: list[np.ndarray], path: str, append: bool = False,
-    ignore_small: int = 0,
+    ids_list, path: str, append: bool = False, ignore_small: int = 0,
 ) -> None:
+    g = as_groups(ids_list)
+    kept = g.select(g.sizes > ignore_small)
     with open(path, "a" if append else "w") as f:
-        for ids in ids_list:
-            if len(ids) > ignore_small:
-                f.write(str(len(ids)))
-                f.write("".join(f"\t{int(i)}" for i in ids))
-                f.write("\n")
+        f.write(_render_clust(kept.flat, kept.sizes))
 
 
 def save_binary(
-    values: np.ndarray, ids_list: list[np.ndarray], path: str,
+    values: np.ndarray, ids_list, path: str,
     append: bool = False, ignore_small: int = 0,
 ) -> None:
     values = np.asarray(values, dtype="<f4")
-    keep = [i for i, ids in enumerate(ids_list) if len(ids) > ignore_small]
+    g = as_groups(ids_list)
+    keep = np.flatnonzero(g.sizes > ignore_small)
     with open(path, "ab" if append else "wb") as f:
         f.write(values[keep].tobytes())
 
 
 def read_cluster_all(
     path: str, num_samples: int
-) -> tuple[np.ndarray, list[np.ndarray]]:
+) -> tuple[np.ndarray, Groups]:
     """Read every cluster (= ReadClusterAll, ioMatrix.cc:48-120)."""
     values = np.fromfile(path, dtype="<f4").reshape(-1, num_samples)
-    ids_list = _read_clust(path + ".clust")
-    if len(ids_list) != len(values):
+    ids = _read_clust(path + ".clust")
+    if len(ids) != len(values):
         raise ValueError(
-            f"{path}: {len(values)} binary rows vs {len(ids_list)} .clust lines"
+            f"{path}: {len(values)} binary rows vs {len(ids)} .clust lines"
         )
-    return values, ids_list
+    return values, ids
 
 
 def read_cluster(
     path: str, num_samples: int, start_line: int, num_lines: int
-) -> tuple[np.ndarray, list[np.ndarray]]:
+) -> tuple[np.ndarray, Groups]:
     """Read a [start_line, start_line+num_lines) window (= ReadCluster,
     ioMatrix.cc:122-199)."""
     mm = np.memmap(path, dtype="<f4", mode="r").reshape(-1, num_samples)
     values = np.asarray(mm[start_line : start_line + num_lines])
-    ids_list = _read_clust(path + ".clust", start_line, num_lines)
-    return values, ids_list
+    ids = _read_clust(path + ".clust", start_line, num_lines)
+    return values, ids
 
 
 def save_matrix(
-    values: np.ndarray, ids_list: list[np.ndarray], path: str,
+    values: np.ndarray, ids_list, path: str,
     append: bool = False, ignore_small: int = 0,
 ) -> None:
     """Tab-separated text centroid rows (= SaveMatrix, ioMatrix.cc:297-320)."""
     values = np.asarray(values)
+    g = as_groups(ids_list)
+    sizes = g.sizes
     with open(path, "a" if append else "w") as f:
-        for v, ids in zip(values, ids_list):
-            if len(ids) > ignore_small:
+        for v, sz in zip(values, sizes):
+            if sz > ignore_small:
                 f.write("\t".join(repr(float(x)) for x in v) + "\n")
 
 
-def read_matrix(path: str) -> tuple[np.ndarray, list[np.ndarray]]:
+def read_matrix(path: str) -> tuple[np.ndarray, Groups]:
     """Text abundance matrix → rows + singleton id lists (= ReadMatrix,
     ioMatrix.cc:201-263; comment lines '#' and a leading tab header line
     are skipped)."""
@@ -82,24 +105,54 @@ def read_matrix(path: str) -> tuple[np.ndarray, list[np.ndarray]]:
                 continue
             rows.append(np.asarray(line.split(), dtype=np.float32))
     values = np.stack(rows) if rows else np.zeros((0, 0), np.float32)
-    ids_list = [np.array([i], dtype=np.uint64) for i in range(len(rows))]
-    return values, ids_list
+    n = len(rows)
+    return values, Groups(np.arange(n, dtype=np.int64),
+                          np.arange(n + 1, dtype=np.int64))
+
+
+# parsed-.clust cache: the out-of-core merge rounds re-read consecutive
+# windows of the same file (pipeline.init_clustering); one parse per file
+_CLUST_CACHE: dict = {}
+
+
+def _parse_clust(path: str) -> Groups:
+    with open(path, "rb") as f:
+        buf = f.read()
+    arr = np.frombuffer(buf, np.uint8)
+    if len(arr) == 0:
+        return Groups(np.empty(0, np.uint64), np.zeros(1, np.int64))
+    nl = np.flatnonzero(arr == 10)
+    if len(nl) == 0 or nl[-1] != len(arr) - 1:
+        nl = np.r_[nl, len(arr)]            # tolerate a missing final \n
+    tabs = np.flatnonzero(arr == 9)
+    per_line = np.bincount(np.searchsorted(nl, tabs),
+                           minlength=len(nl)) + 1
+    tokens = np.array(buf.split()).astype(np.uint64)
+    tok_start = np.concatenate([[0], np.cumsum(per_line)])[:-1]
+    sizes = tokens[tok_start].astype(np.int64)
+    if not np.array_equal(sizes, per_line - 1):
+        raise ValueError(f"{path}: size field does not match id count "
+                         "on some line")
+    mask = np.ones(len(tokens), bool)
+    mask[tok_start] = False
+    return Groups(tokens[mask], np.concatenate([[0], np.cumsum(sizes)]))
 
 
 def _read_clust(
     path: str, start_line: int = 0, num_lines: int | None = None
-) -> list[np.ndarray]:
-    out: list[np.ndarray] = []
-    with open(path) as f:
-        for lineno, line in enumerate(f):
-            if lineno < start_line:
-                continue
-            if num_lines is not None and len(out) >= num_lines:
-                break
-            parts = line.split()
-            if not parts:
-                continue
-            size = int(parts[0])
-            ids = np.array(parts[1 : 1 + size], dtype=np.uint64)
-            out.append(ids)
-    return out
+) -> Groups:
+    import os
+
+    st = os.stat(path)
+    key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    g = _CLUST_CACHE.get(key)
+    if g is None:
+        g = _parse_clust(path)
+        _CLUST_CACHE.clear()                # hold at most one parsed file
+        _CLUST_CACHE[key] = g
+    if start_line == 0 and num_lines is None:
+        return g
+    stop = len(g) if num_lines is None else min(len(g),
+                                                start_line + num_lines)
+    lo, hi = g.offsets[start_line], g.offsets[stop]
+    return Groups(g.flat[lo:hi], g.offsets[start_line:stop + 1] - lo)

@@ -305,28 +305,13 @@ def _assemble(values_t, sizes, slots, parent, n_rows: int):
         if np.array_equal(nr, r):
             break
         r = nr
-    roots = r[:  len(parent)]
+    roots = r[:len(parent)]
 
-    order = np.argsort(roots[:n_rows], kind="stable")
-    sr = roots[:n_rows][order]
-    starts = np.flatnonzero(np.r_[True, sr[1:] != sr[:-1]])
-    members_of_root = {int(sr[s]): g for s, g in
-                       zip(starts, np.split(order, starts[1:]))}
+    from kmerlsh_tpu.cluster.engine import _group_by_roots
 
-    s = values_t.shape[0]
-    out = []
-    for i in np.flatnonzero(sizes > 0):
-        gid = int(slots[i])
-        if gid >= n_rows:
-            continue
-        g = members_of_root[gid]
-        out.append((int(g[0]), values_t[:, i], int(sizes[i]), g))
-    out.sort(key=lambda t: t[0])
-    centroids = (np.stack([o[1] for o in out]) if out
-                 else np.zeros((0, s), np.float32))
-    out_sizes = np.asarray([o[2] for o in out], np.int64)
-    members = [o[3] for o in out]
-    return centroids, out_sizes, members
+    alive = np.flatnonzero((sizes > 0) & (slots < n_rows))
+    return _group_by_roots(roots[:n_rows], slots[alive], sizes[alive],
+                           values_t[:, alive])
 
 
 def upload_counts_sharded(counts: np.ndarray, mesh) -> tuple[jax.Array, int]:

@@ -25,6 +25,7 @@ import os
 
 import numpy as np
 
+from kmerlsh_tpu.cluster.groups import Groups, as_groups
 from kmerlsh_tpu.config import HyperParams
 from kmerlsh_tpu.io import clusterio, counts as countsio, fastq as fastqio, kmc as kmcio
 from kmerlsh_tpu.io.samples import get_input
@@ -133,7 +134,13 @@ def init_clustering(
             cents, _, groups = cluster(values, sizes, 1, similarity, seed,
                                        **kw)
         seed += 1
-        ids_list = [np.sort(ids[g]) for g in groups]
+        if isinstance(groups, Groups):
+            # engine/dist groups are sorted-within and ``ids`` is monotone,
+            # so the translation preserves ascending order
+            ids_list = groups.map_ids(ids)
+        else:
+            ids_list = Groups.from_list([np.sort(ids[g]) for g in groups],
+                                        dtype=np.uint64)
         with stages.stage("save_tmp"):
             clusterio.save_result(ids_list, write_path + ".clust",
                                   append=not first, ignore_small=0)
@@ -152,12 +159,11 @@ def init_clustering(
         while start < remaining:
             bs = min(batch, remaining - start)
             values, ids_list = clusterio.read_cluster(read_path, S, start, bs)
-            sizes = np.asarray([len(x) for x in ids_list], np.int32)
+            sizes = ids_list.sizes.astype(np.int32)
             with stages.stage("cluster_merge_round"):
                 cents, _, groups = cluster(values, sizes, 5, similarity, seed)
             seed += 1
-            out_ids = [np.sort(np.concatenate([ids_list[i] for i in g]))
-                       for g in groups]
+            out_ids = ids_list.regroup(groups)
             clusterio.save_result(out_ids, write_path + ".clust",
                                   append=not first, ignore_small=0)
             clusterio.save_binary(cents, out_ids, write_path,
@@ -222,8 +228,10 @@ def _fused_single_batch(
             jcounts, v, schedule, seed=params.seed,
             rounds=params.merge_rounds, deep_init=True,
             verbose=params.verbose, n=n)
-    final_ids = [np.sort(g).astype(np.uint64) for g in groups]
-    return cents, final_ids
+    if isinstance(groups, Groups):
+        return cents, groups.astype(np.uint64)   # already sorted-within
+    return cents, Groups.from_list([np.sort(g) for g in groups],
+                                   dtype=np.uint64)
 
 
 def kmer_cluster(params: HyperParams) -> Stages:
@@ -287,26 +295,26 @@ def kmer_cluster(params: HyperParams) -> Stages:
             with stages.stage("C_init_clustering"):
                 values, ids_list = init_clustering(
                     params, kmap_size, v_kmers, stages)
-            sizes = np.asarray([len(x) for x in ids_list], np.int32)
+            ids_list = as_groups(ids_list)
+            sizes = ids_list.sizes.astype(np.int32)
             with stages.stage("C_cluster"):
                 cents, _, groups = _cluster_fn(params)(
                     values, sizes, params.cluster_iteration,
                     params.min_similarity, params.seed + 10_000)
-            final_ids = [np.sort(np.concatenate([ids_list[i] for i in g]))
-                         for g in groups]
+            final_ids = ids_list.regroup(groups)
         with stages.stage("C_save"):
             clusterio.save_result(final_ids, clust_path + ".clust",
                                   ignore_small=params.ignore_small)
             clusterio.save_binary(cents, final_ids, clust_path,
                                   ignore_small=params.ignore_small)
-        stages.record("clusters", len([x for x in final_ids
-                                       if len(x) > params.ignore_small]))
+        stages.record("clusters", int(np.sum(
+            as_groups(final_ids).sizes > params.ignore_small)))
 
     if params.extracting:
         with stages.stage("E_wrs"):
             values, ids_list = clusterio.read_cluster_all(
                 clust_path, len(samples))
-            sizes = np.asarray([len(x) for x in ids_list], np.int64)
+            sizes = ids_list.sizes
             mesh = _mesh_or_none()
             if mesh is not None and len(ids_list) >= mesh.size:
                 from kmerlsh_tpu.parallel import dist
@@ -324,12 +332,10 @@ def kmer_cluster(params: HyperParams) -> Stages:
                     values, sizes, n1, n2, params.pval_thresh,
                     params.size_thresh))
         keys = countsio.read_hex(os.path.join(params.work_dir, countsio.HEX_NAME))
-        gids1 = [ids for ids, v in zip(ids_list, verdicts) if v == 1]
-        gids2 = [ids for ids, v in zip(ids_list, verdicts) if v == 2]
-        gk1 = np.sort(keys[np.concatenate(gids1).astype(np.int64)]) if gids1 \
-            else np.empty(0, np.uint64)
-        gk2 = np.sort(keys[np.concatenate(gids2).astype(np.int64)]) if gids2 \
-            else np.empty(0, np.uint64)
+        gids1 = ids_list.select(verdicts == 1).flat.astype(np.int64)
+        gids2 = ids_list.select(verdicts == 2).flat.astype(np.int64)
+        gk1 = np.sort(keys[gids1]) if len(gids1) else np.empty(0, np.uint64)
+        gk2 = np.sort(keys[gids2]) if len(gids2) else np.empty(0, np.uint64)
         if params.verbose:
             print(f"# of differential kmers in group A : {len(gk1)}")
             print(f"# of differential kmers in group B : {len(gk2)}")
