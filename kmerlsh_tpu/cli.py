@@ -70,6 +70,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--read-scorer", choices=["auto", "host", "device"],
                    default=d.read_scorer,
                    help="mode-E scorer: on-device kernel or host NumPy")
+    p.add_argument("--coordinator", default=d.coordinator,
+                   help="multi-host: jax.distributed coordinator host:port "
+                        "(run the same command on every host)")
+    p.add_argument("--num-processes", type=int, default=d.num_processes,
+                   help="multi-host: total process count")
+    p.add_argument("--process-id", type=int, default=d.process_id,
+                   help="multi-host: this process's id (0-based)")
     return p
 
 
@@ -86,6 +93,8 @@ def params_from_args(argv: list[str]) -> HyperParams:
         verbose=a.verbose, seed=a.seed, engine=a.engine,
         batch_thresh=a.batch_thresh, merge_rounds=a.merge_rounds,
         trace_dir=a.trace_dir, read_scorer=a.read_scorer,
+        coordinator=a.coordinator, num_processes=a.num_processes,
+        process_id=a.process_id,
     )
     params.apply_mode(a.mode, a.only)
     if params.k > 31:
@@ -95,6 +104,9 @@ def params_from_args(argv: list[str]) -> HyperParams:
 
 def main(argv: list[str] | None = None) -> None:
     params = params_from_args(sys.argv[1:] if argv is None else argv)
+    from kmerlsh_tpu.parallel import multihost
+
+    multihost.maybe_initialize(params)
     if params.verbose:
         print("************ kmers Cluster Params Setting ****************")
         for field, val in vars(params).items():

@@ -63,6 +63,11 @@ class HyperParams:
     read_scorer: str = "auto"     # mode-E scorer: "host" | "device" | "auto"
                                   # (auto = device when an accelerator backs
                                   # jax, host on CPU-only)
+    # multi-host launch (parallel/multihost.py): every host runs the same
+    # command with these three set; empty coordinator = single-process
+    coordinator: str = ""         # jax.distributed coordinator host:port
+    num_processes: int = 0
+    process_id: int = -1
 
     def apply_mode(self, mode: str, only: bool) -> None:
         """Reference mode-matrix semantics (app/kmerLSH.cc:241-275)."""

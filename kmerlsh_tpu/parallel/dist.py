@@ -246,6 +246,30 @@ def _local_cap(n: int, n_dev: int, lo: int = 512) -> int:
     return max(lo, 1 << math.ceil(math.log2(max(per, 1))))
 
 
+def _put(mesh, arr: np.ndarray, spec: P) -> jax.Array:
+    """Place a host array (identical on every process) with ``spec`` on
+    ``mesh``. Single-process this is ``device_put``; multi-process each
+    host materializes only its addressable shards."""
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
+
+
+def _my_cols(mesh, s: int, n_cols: int) -> tuple[int, int]:
+    """This process's contiguous global-column range under P(None, ROWS)."""
+    sharding = NamedSharding(mesh, P(None, ROWS))
+    imap = sharding.devices_indices_map((s, n_cols))
+    me = jax.process_index()
+    spans = sorted((idx[1].start or 0, idx[1].stop or n_cols)
+                   for d, idx in imap.items() if d.process_index == me)
+    lo, hi = spans[0][0], spans[-1][1]
+    assert all(a <= hi and b >= lo for a, b in spans), (
+        f"non-contiguous process columns: {spans}")
+    return lo, hi
+
+
 def _drive(head_fn, head_args, mesh, thresholds, seed, e, verbose,
            progs) -> tuple:
     """Shared host loop: head program → chunk programs with per-device
@@ -292,8 +316,10 @@ def _drive(head_fn, head_args, mesh, thresholds, seed, e, verbose,
 
     fin_c = min(c_loc, _local_cap(max(max_alive, 1), 1))
     values_t, sizes, slots = slice_to((values_t, sizes, slots), fin_c)
-    return (np.asarray(values_t), np.asarray(sizes), np.asarray(slots),
-            np.asarray(parent), na)
+    from kmerlsh_tpu.parallel.multihost import gather_np
+
+    return (gather_np(values_t), gather_np(sizes), gather_np(slots),
+            gather_np(parent), na)
 
 
 def _assemble(values_t, sizes, slots, parent, n_rows: int):
@@ -321,7 +347,32 @@ def upload_counts_sharded(counts: np.ndarray, mesh) -> tuple[jax.Array, int]:
     c_loc = _local_cap(n, mesh.size)
     padded = np.zeros((S, mesh.size * c_loc), np.uint16)
     padded[:, :n] = counts
-    return jax.device_put(padded, NamedSharding(mesh, P(None, ROWS))), n
+    return _put(mesh, padded, P(None, ROWS)), n
+
+
+def upload_counts_process_local(
+    bin_path: str, num_samples: int, kmap_size: int, mesh,
+) -> tuple[jax.Array, int]:
+    """Multi-host count upload: each process reads ONLY its own column
+    slice of the sample-major ``kmer_count.bin`` (ReadHT layout,
+    io/ioHT.cc:65-66) and assembles the global row-sharded array via
+    ``jax.make_array_from_process_local_data`` — the full matrix never
+    lives on one host."""
+    from kmerlsh_tpu.io import counts as countsio
+
+    S = num_samples
+    c_loc = _local_cap(kmap_size, mesh.size)
+    n_cols = mesh.size * c_loc
+    lo, hi = _my_cols(mesh, S, n_cols)
+    local = np.zeros((S, hi - lo), np.uint16)
+    rlo, rhi = min(lo, kmap_size), min(hi, kmap_size)
+    if rhi > rlo:
+        local[:, :rhi - rlo] = countsio.read_count_batch(
+            bin_path, S, kmap_size, rlo, rhi - rlo)
+    sharding = NamedSharding(mesh, P(None, ROWS))
+    arr = jax.make_array_from_process_local_data(sharding, local,
+                                                 global_shape=(S, n_cols))
+    return arr, kmap_size
 
 
 def cluster_counts_sharded(
@@ -390,8 +441,8 @@ def cluster_sharded(
     host_sizes = np.zeros(n_dev * c_loc, np.int32)
     host_sizes[:n] = (np.asarray(sizes, np.int32) if sizes is not None
                       else np.ones(n, np.int32))
-    jvals = jax.device_put(host_vals, NamedSharding(mesh, P(None, ROWS)))
-    jsizes = jax.device_put(host_sizes, NamedSharding(mesh, P(ROWS)))
+    jvals = _put(mesh, host_vals, P(None, ROWS))
+    jsizes = _put(mesh, host_sizes, P(ROWS))
 
     progs = _dist_programs(mesh, exchange_cap)
     head_values = progs[1]
@@ -420,7 +471,7 @@ def shard_rows(mesh, array):
     """Place an [N, ...] array row-sharded on the mesh (N must divide by
     the mesh size; the host pads capacity to a multiple)."""
     spec = P(ROWS, *([None] * (array.ndim - 1)))
-    return jax.device_put(array, NamedSharding(mesh, spec))
+    return _put(mesh, np.asarray(array), spec)
 
 
 def shard_cols(mesh, array):
@@ -428,4 +479,4 @@ def shard_cols(mesh, array):
     engine's sample-major [S, N] profile matrix (k-mer axis on lanes and
     across devices)."""
     spec = P(*([None] * (array.ndim - 1)), ROWS)
-    return jax.device_put(array, NamedSharding(mesh, spec))
+    return _put(mesh, np.asarray(array), spec)

@@ -91,7 +91,11 @@ def init_clustering(
     """Out-of-core batched pre-clustering (app/kmerLSH.cc:278-430):
     transform+cluster each 'batch_thresh'-row slice once at threshold 0.95,
     then re-merge tmp files in rounds (similarity − 0.001 per round, 5
-    iterations) until ≤ one batch remains."""
+    iterations) until ≤ one batch remains. Multi-host: every process
+    computes the identical global clustering; tmp artifacts are written by
+    process 0 only, with barriers before they are read back."""
+    from kmerlsh_tpu.parallel import multihost
+
     cluster = _cluster_fn(params)
     os.makedirs(params.tmp_dir, exist_ok=True)
     bin_path = os.path.join(params.work_dir, countsio.BIN_NAME)
@@ -142,10 +146,11 @@ def init_clustering(
             ids_list = Groups.from_list([np.sort(ids[g]) for g in groups],
                                         dtype=np.uint64)
         with stages.stage("save_tmp"):
-            clusterio.save_result(ids_list, write_path + ".clust",
-                                  append=not first, ignore_small=0)
-            clusterio.save_binary(cents, ids_list, write_path,
-                                  append=not first, ignore_small=0)
+            if multihost.proc0():
+                clusterio.save_result(ids_list, write_path + ".clust",
+                                      append=not first, ignore_small=0)
+                clusterio.save_binary(cents, ids_list, write_path,
+                                      append=not first, ignore_small=0)
         total += len(ids_list)
         offset += bs
         first = False
@@ -156,6 +161,7 @@ def init_clustering(
         tmp_no += 1
         write_path = os.path.join(params.tmp_dir, f"{tmp_no}.bin")
         remaining, total, start, first = total, 0, 0, True
+        multihost.barrier(f"tmp_round_{tmp_no}")   # writes visible before reads
         while start < remaining:
             bs = min(batch, remaining - start)
             values, ids_list = clusterio.read_cluster(read_path, S, start, bs)
@@ -164,16 +170,20 @@ def init_clustering(
                 cents, _, groups = cluster(values, sizes, 5, similarity, seed)
             seed += 1
             out_ids = ids_list.regroup(groups)
-            clusterio.save_result(out_ids, write_path + ".clust",
-                                  append=not first, ignore_small=0)
-            clusterio.save_binary(cents, out_ids, write_path,
-                                  append=not first, ignore_small=0)
+            if multihost.proc0():
+                clusterio.save_result(out_ids, write_path + ".clust",
+                                      append=not first, ignore_small=0)
+                clusterio.save_binary(cents, out_ids, write_path,
+                                      append=not first, ignore_small=0)
             total += len(out_ids)
             start += bs
             first = False
-        os.remove(read_path)
-        os.remove(read_path + ".clust")
+        multihost.barrier(f"tmp_round_{tmp_no}_done")
+        if multihost.proc0():
+            os.remove(read_path)
+            os.remove(read_path + ".clust")
 
+    multihost.barrier("init_clustering_done")
     return clusterio.read_cluster_all(write_path, S)
 
 
@@ -198,13 +208,23 @@ def _fused_single_batch(
     cached = _DEVICE_COUNTS_CACHE.get(cache_key)
     with stages.stage("read_batch"):
         if cached is None:
-            cmat = countsio.read_count_batch(
-                bin_path, S, kmap_size, 0, kmap_size)
-            if mesh is not None:
+            from kmerlsh_tpu.parallel import multihost
+
+            if mesh is not None and multihost.process_count() > 1:
+                # multi-host: each process reads only its column slice
                 from kmerlsh_tpu.parallel import dist
 
+                jcounts, n = dist.upload_counts_process_local(
+                    bin_path, S, kmap_size, mesh)
+            elif mesh is not None:
+                from kmerlsh_tpu.parallel import dist
+
+                cmat = countsio.read_count_batch(
+                    bin_path, S, kmap_size, 0, kmap_size)
                 jcounts, n = dist.upload_counts_sharded(cmat, mesh)
             else:
+                cmat = countsio.read_count_batch(
+                    bin_path, S, kmap_size, 0, kmap_size)
                 jcounts, n = engine.upload_counts(cmat)
             _DEVICE_COUNTS_CACHE.clear()   # hold at most one matrix
             _DEVICE_COUNTS_CACHE[cache_key] = (jcounts, n)
@@ -236,6 +256,7 @@ def _fused_single_batch(
 
 def kmer_cluster(params: HyperParams) -> Stages:
     """Full pipeline driver (= ``kmerCluster``, app/kmerLSH.cc:432-603)."""
+    from kmerlsh_tpu.parallel import multihost
     from kmerlsh_tpu.utils.jaxcache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -253,14 +274,23 @@ def kmer_cluster(params: HyperParams) -> Stages:
 
     if params.kmc:
         with stages.stage("K_kmc"):
-            for fq, name in zip(samples, kmc_names):
+            # per-sample counting splits round-robin across processes
+            for fq, name in multihost.my_items(list(zip(samples, kmc_names))):
                 kmcio.run_kmc(fq, name, params.k, params.count_min,
                               params.threads_to_use, params.max_memory,
                               params.work_dir, params.verbose)
+            multihost.barrier("K_kmc")
     if params.bin:
         with stages.stage("B_bin"):
-            kmap_size, v_kmers = countsio.build_count_matrix(
-                kmc_names, params.k, params.work_dir, params.verbose)
+            # shared artifacts (hex/bin/log) are written by process 0 only
+            if multihost.proc0():
+                kmap_size, v_kmers = countsio.build_count_matrix(
+                    kmc_names, params.k, params.work_dir, params.verbose)
+            multihost.barrier("B_bin")
+            if not multihost.proc0():
+                kmap_size, covs = countsio.read_log(
+                    os.path.join(params.work_dir, countsio.LOG_NAME))
+                v_kmers = [c / kmap_size for c in covs]
 
     clust_path = params.clust_file_name
 
@@ -303,10 +333,12 @@ def kmer_cluster(params: HyperParams) -> Stages:
                     params.min_similarity, params.seed + 10_000)
             final_ids = ids_list.regroup(groups)
         with stages.stage("C_save"):
-            clusterio.save_result(final_ids, clust_path + ".clust",
-                                  ignore_small=params.ignore_small)
-            clusterio.save_binary(cents, final_ids, clust_path,
-                                  ignore_small=params.ignore_small)
+            if multihost.proc0():
+                clusterio.save_result(final_ids, clust_path + ".clust",
+                                      ignore_small=params.ignore_small)
+                clusterio.save_binary(cents, final_ids, clust_path,
+                                      ignore_small=params.ignore_small)
+            multihost.barrier("C_save")
         stages.record("clusters", int(np.sum(
             as_groups(final_ids).sizes > params.ignore_small)))
 
@@ -324,8 +356,8 @@ def kmer_cluster(params: HyperParams) -> Stages:
                 sp = np.pad(sizes.astype(np.int32), (0, pad))
                 fn = dist.sharded_wrs(mesh, n1, n2, params.pval_thresh,
                                       params.size_thresh)
-                verdicts = np.asarray(fn(dist.shard_rows(mesh, vp),
-                                         dist.shard_rows(mesh, sp)))
+                verdicts = multihost.gather_np(
+                    fn(dist.shard_rows(mesh, vp), dist.shard_rows(mesh, sp)))
                 verdicts = verdicts[:len(ids_list)]
             else:
                 verdicts = np.asarray(ttest.wrs_verdicts(
@@ -368,9 +400,12 @@ def _extract_group(
     params: HyperParams,
 ) -> None:
     """= ``IOFQ::Extracting`` (io/ioFastQ.cc:161-195): one output file per
-    sample named ``{out_prefix}_{basename(sample)}``."""
+    sample named ``{out_prefix}_{basename(sample)}``. Multi-host: samples
+    split round-robin across processes (outputs are per-sample files)."""
+    from kmerlsh_tpu.parallel import multihost
+
     score = _pick_scorer(params)
-    for path in sample_files:
+    for path in multihost.my_items(sample_files):
         out = f"{out_prefix}_{os.path.basename(path)}"
         if params.verbose:
             print(f"writing to {out}")
