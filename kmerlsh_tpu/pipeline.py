@@ -109,34 +109,47 @@ def init_clustering(
     total = 0
     seed = params.seed
 
+    mesh = _mesh_or_none() if params.engine != "greedy" else None
     offset = 0
     first = True
     while offset < kmap_size:
         bs = min(batch, kmap_size - offset)
         with stages.stage("read_batch"):
             cmat = countsio.read_count_batch(bin_path, S, kmap_size, offset, bs)
-        with stages.stage("transform"):
-            jvalues_t, keep = transform.abundance_transform_t(cmat, v)
-        if params.engine == "greedy" or _mesh_or_none() is not None:
-            keep_np = np.asarray(keep)
-            values = np.asarray(jvalues_t).T[keep_np]
-            sizes = None
-            ids = (offset + np.nonzero(keep_np)[0]).astype(np.uint64)
-            kw = {}
-        else:
-            # stay on device in the engine's sample-major layout: filtered
-            # rows ride along as 0-weight slots
-            import jax.numpy as jnp
-
-            values = jvalues_t
-            sizes = keep.astype(jnp.int32)
-            ids = (offset + np.arange(bs)).astype(np.uint64)
-            kw = {"transposed": True}
         if params.verbose:
             print(f"batch @{offset}: {bs} rows")
-        with stages.stage("cluster_batch"):
-            cents, _, groups = cluster(values, sizes, 1, similarity, seed,
-                                       **kw)
+        if mesh is not None:
+            # mesh path: the raw uint16 batch uploads once and the
+            # transform+filter run fused inside the sharded head program —
+            # no [S, batch] host round trip (filtered rows become dead
+            # slots; the batch pass is one iteration at 0.95, kmerLSH.cc:487)
+            from kmerlsh_tpu.parallel import dist
+
+            with stages.stage("cluster_batch"):
+                cents, _, groups = dist.cluster_counts_sharded(
+                    cmat, v, np.asarray([0.95], np.float32), mesh=mesh,
+                    seed=seed, verbose=params.verbose)
+            ids = (offset + np.arange(bs)).astype(np.uint64)
+        elif params.engine == "greedy":
+            with stages.stage("transform"):
+                jvalues_t, keep = transform.abundance_transform_t(cmat, v)
+            keep_np = np.asarray(keep)
+            values = np.asarray(jvalues_t).T[keep_np]
+            ids = (offset + np.nonzero(keep_np)[0]).astype(np.uint64)
+            with stages.stage("cluster_batch"):
+                cents, _, groups = cluster(values, None, 1, similarity, seed)
+        else:
+            # single chip: stay on device in the engine's sample-major
+            # layout, filtered rows ride along as 0-weight slots
+            import jax.numpy as jnp
+
+            with stages.stage("transform"):
+                jvalues_t, keep = transform.abundance_transform_t(cmat, v)
+            ids = (offset + np.arange(bs)).astype(np.uint64)
+            with stages.stage("cluster_batch"):
+                cents, _, groups = cluster(
+                    jvalues_t, keep.astype(jnp.int32), 1, similarity, seed,
+                    transposed=True)
         seed += 1
         if isinstance(groups, Groups):
             # engine/dist groups are sorted-within and ``ids`` is monotone,

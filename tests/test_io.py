@@ -133,15 +133,17 @@ def test_native_counter_matches_bruteforce(tmp_path, count_min):
 
 def test_run_kmc_fallback_writes_readable_db(tmp_path):
     k = 11
+    rng = np.random.default_rng(13)
+    seqs = [rand_seq(50, rng) for _ in range(20)]
     fq = str(tmp_path / "a.fastq")
-    write_fastq(fq, [rand_seq(50) for _ in range(20)])
+    write_fastq(fq, seqs)
     db = str(tmp_path / "db")
     kmc.run_kmc(fq, db, k, count_min=1, threads=2, max_memory_gb=1,
                 work_dir=str(tmp_path))
     packed, cnts, k2 = kmc.read_db(db)
     assert k2 == k and len(packed) > 0
-    want = brute_counts([rand_seq(0)], k, 1)  # placeholder to silence lints
-    del want
+    got = {codec.decode(np.uint64(p), k): int(c) for p, c in zip(packed, cnts)}
+    assert got == brute_counts(seqs, k, 1)
 
 
 def test_gzip_fastq(tmp_path):

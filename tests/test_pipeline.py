@@ -122,9 +122,20 @@ def test_mode_restart_from_artifacts(tmp_path):
     assert all(os.path.exists(o) for o in outs)
 
 
-def test_batched_out_of_core_matches_single_batch(tmp_path):
+def test_batched_out_of_core_matches_single_batch(tmp_path, monkeypatch):
     # tiny batch_thresh forces multi-batch + merge rounds; the final
     # differential sets must still recover the markers
+    import kmerlsh_tpu.pipeline as pl
+
+    def no_host_roundtrip(*a, **kw):
+        raise AssertionError(
+            "mesh multi-batch path must not pull the transform to host — "
+            "counts go straight to dist.cluster_counts_sharded")
+
+    # tests run on an 8-device virtual mesh, so init_clustering must take
+    # the device-resident branch: the host transform is never called
+    monkeypatch.setattr(pl.transform, "abundance_transform_t",
+                        no_host_roundtrip)
     p, m = make_params(tmp_path, batch_thresh=500)
     kmer_cluster(p)
     keys = countsio.read_hex(str(tmp_path / "kmer_set.hex"))
