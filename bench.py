@@ -187,7 +187,17 @@ def _worker_reads() -> dict:
 def _worker_scaling() -> dict:
     """Weak scaling on the virtual CPU mesh: rows/s per device, 1->8
     devices, fixed per-device rows.  (Caveat recorded by the orchestrator:
-    all virtual devices share this host's physical cores.)"""
+    all virtual devices share this host's physical cores.)  The session
+    environment may pin JAX_PLATFORMS to a TPU plugin via a site hook that
+    ignores env-var edits, so the CPU platform is forced through
+    ``jax.config`` — same trick as tests/conftest.py."""
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     from kmerlsh_tpu.parallel import dist, mesh as meshlib
 
     per_dev, S, I = 1 << 15, 16, 10
@@ -452,7 +462,9 @@ def main() -> None:
         if remaining() < 420:
             note("no budget left for another TPU attempt")
             break
-        box = max(300.0, min(remaining() - 480, 900))
+        # one cold compile of a missing shape costs ~400-450 s on the
+        # remote-compile service; leave room for one plus the warm runs
+        box = max(300.0, min(remaining() - 480, 1200))
         d = make_data(n_try) if n_try != N_ROWS else sub
         tpu = run_worker("tpu", box, n=n_try, sub=d)
         if tpu is not None:
