@@ -19,10 +19,24 @@ import numpy as np
 
 from kmerlsh_tpu.cluster.groups import Groups, as_groups
 
+try:  # optional C++ accelerator (native/_native.cc: render_clust)
+    import _kmerlsh_native as _native
+except ImportError:  # pragma: no cover
+    _native = None
 
-def _render_clust(flat: np.ndarray, sizes: np.ndarray) -> str:
-    """Vectorized ``size\\tid…\\n`` rendering: every token is formatted by
-    NumPy's C-level int→str conversion and assembled positionally."""
+
+def _render_clust(flat: np.ndarray, sizes: np.ndarray) -> bytes:
+    """``size\\tid…\\n`` rendering. Hot on the headline path (the final
+    save of millions of clusters / tens of millions of ids): the native
+    multithreaded itoa renderer streams tens of M ids/s, matching the
+    reference's ofstream writer (io/ioMatrix.cc:283-287). NumPy fallback
+    (~0.8 M ids/s) when the extension isn't built."""
+    sizes = np.ascontiguousarray(sizes, dtype=np.int64)
+    flat = np.ascontiguousarray(flat, dtype=np.uint64)
+    if _native is not None and hasattr(_native, "render_clust"):
+        offs = np.ascontiguousarray(
+            np.concatenate([[0], np.cumsum(sizes)]), dtype=np.int64)
+        return _native.render_clust(flat, offs)  # zero-copy buffer protocol
     g = len(sizes)
     offs = np.concatenate([[0], np.cumsum(sizes)])
     total = int(offs[-1]) + 2 * g
@@ -32,8 +46,8 @@ def _render_clust(flat: np.ndarray, sizes: np.ndarray) -> str:
     out[offs[1:] + 2 * gpos + 1] = "\n"
     egroup = np.repeat(gpos, sizes)
     out[np.arange(len(flat)) + 2 * egroup + 1] = np.char.add(
-        "\t", flat.astype(np.uint64).astype("U20"))
-    return "".join(out.tolist())
+        "\t", flat.astype("U20"))
+    return "".join(out.tolist()).encode()
 
 
 def save_result(
@@ -41,7 +55,7 @@ def save_result(
 ) -> None:
     g = as_groups(ids_list)
     kept = g.select(g.sizes > ignore_small)
-    with open(path, "a" if append else "w") as f:
+    with open(path, "ab" if append else "wb") as f:
         f.write(_render_clust(kept.flat, kept.sizes))
 
 
@@ -84,14 +98,19 @@ def save_matrix(
     values: np.ndarray, ids_list, path: str,
     append: bool = False, ignore_small: int = 0,
 ) -> None:
-    """Tab-separated text centroid rows (= SaveMatrix, ioMatrix.cc:297-320)."""
-    values = np.asarray(values)
+    """Tab-separated text centroid rows (= SaveMatrix, ioMatrix.cc:297-320).
+    Vectorized: NumPy's C-level shortest-roundtrip float→str per token, no
+    per-row Python loop (the rendered floats round-trip exactly through
+    ``read_matrix``)."""
+    values = np.asarray(values, dtype=np.float32)
     g = as_groups(ids_list)
-    sizes = g.sizes
+    kept = values[g.sizes > ignore_small]
     with open(path, "a" if append else "w") as f:
-        for v, sz in zip(values, sizes):
-            if sz > ignore_small:
-                f.write("\t".join(repr(float(x)) for x in v) + "\n")
+        if kept.size:
+            toks = kept.astype("U16")
+            sep = np.full(kept.shape, "\t", dtype="U1")
+            sep[:, -1] = "\n"
+            f.write("".join(np.char.add(toks, sep).ravel().tolist()))
 
 
 def read_matrix(path: str) -> tuple[np.ndarray, Groups]:

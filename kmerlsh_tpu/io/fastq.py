@@ -41,7 +41,6 @@ def _open(path: str):
 def read_records(path: str) -> Iterator[Read]:
     """Yield reads from one FASTQ/FASTA file."""
     with _open(path) as f:
-        first = f.peek(1)[:1] if hasattr(f, "peek") else b""
         line = f.readline()
         while line:
             line = line.rstrip(b"\r\n")
@@ -65,7 +64,6 @@ def read_records(path: str) -> Iterator[Read]:
                 yield Read(name, b"".join(chunks), b"")
             else:
                 raise ValueError(f"{path}: unrecognized record header: {line[:60]!r}")
-    _ = first
 
 
 def _native_parts(path: str, part_size: int) -> Iterator[list[Read]]:

@@ -216,8 +216,10 @@ def _fused_single_batch(
     # (threshold/iteration sweeps, repeated mode-C restarts) skips the
     # host→device transfer — the dominant cost of a warm session
     st = os.stat(bin_path)
+    mesh_id = (tuple(d.id for d in mesh.devices.flat)
+               if mesh is not None else None)
     cache_key = (os.path.abspath(bin_path), st.st_mtime_ns, st.st_size,
-                 S, kmap_size, mesh is not None)
+                 S, kmap_size, mesh_id)
     cached = _DEVICE_COUNTS_CACHE.get(cache_key)
     with stages.stage("read_batch"):
         if cached is None:

@@ -426,12 +426,112 @@ static PyTypeObject KmerCounterType = {
     PyVarObject_HEAD_INIT(nullptr, 0)
 };
 
+// ------------------------------------------------------------ render_clust
+//
+// Bytes-level renderer for the `.clust` text format (one line per cluster,
+// "size\tid1\tid2…\n", io/ioMatrix.cc:265-294 in the reference). The
+// per-token Python/NumPy string path costs ~0.8 M ids/s at the 1e7-id
+// design point; this streams tens of M ids/s like the reference's
+// ofstream writer.
+
+static inline size_t u64_to_chars(uint64_t v, char* out) {
+  char tmp[20];
+  int n = 0;
+  do {
+    tmp[n++] = (char)('0' + (v % 10));
+    v /= 10;
+  } while (v);
+  for (int i = 0; i < n; ++i) out[i] = tmp[n - 1 - i];
+  return (size_t)n;
+}
+
+// render_clust(flat: bytes(uint64[n]), offsets: bytes(int64[g+1]),
+//              threads=0) -> bytes
+static PyObject* native_render_clust(PyObject*, PyObject* args) {
+  Py_buffer flat_buf, off_buf;
+  int threads = 0;
+  if (!PyArg_ParseTuple(args, "y*y*|i", &flat_buf, &off_buf, &threads))
+    return nullptr;
+  const uint64_t* flat = (const uint64_t*)flat_buf.buf;
+  const int64_t* off = (const int64_t*)off_buf.buf;
+  Py_ssize_t g = off_buf.len / (Py_ssize_t)sizeof(int64_t) - 1;
+  if (g < 0) g = 0;
+  if (threads <= 0) {
+    unsigned hc = std::thread::hardware_concurrency();
+    threads = hc ? (int)hc : 1;
+  }
+  if ((Py_ssize_t)threads > g) threads = g > 0 ? (int)g : 1;
+
+  std::vector<std::string> parts((size_t)threads);
+
+  auto render_range = [&](Py_ssize_t g0, Py_ssize_t g1, std::string& out) {
+    // worst case per group: 20-digit size + per id (tab + 20 digits) + \n
+    out.reserve((size_t)(off[g1] - off[g0]) * 21 + (size_t)(g1 - g0) * 22);
+    char buf[21];
+    for (Py_ssize_t gi = g0; gi < g1; ++gi) {
+      int64_t lo = off[gi], hi = off[gi + 1];
+      out.append(buf, u64_to_chars((uint64_t)(hi - lo), buf));
+      for (int64_t i = lo; i < hi; ++i) {
+        buf[0] = '\t';
+        out.append(buf, 1 + u64_to_chars(flat[i], buf + 1));
+      }
+      out.push_back('\n');
+    }
+  };
+
+  Py_BEGIN_ALLOW_THREADS
+  if (threads <= 1) {
+    render_range(0, g, parts[0]);
+  } else {
+    // split group ranges so each thread owns ~equal id counts
+    std::vector<std::thread> pool;
+    pool.reserve(threads);
+    const int64_t total_ids = off[g];
+    Py_ssize_t g0 = 0;
+    for (int t = 0; t < threads; ++t) {
+      Py_ssize_t g1;
+      if (t == threads - 1) {
+        g1 = g;
+      } else {
+        int64_t target = total_ids * (t + 1) / threads;
+        g1 = (Py_ssize_t)(std::upper_bound(off + g0, off + g + 1, target) -
+                          off) - 1;
+        if (g1 < g0) g1 = g0;
+      }
+      pool.emplace_back([&, t, g0, g1] { render_range(g0, g1, parts[t]); });
+      g0 = g1;
+    }
+    for (auto& th : pool) th.join();
+  }
+  Py_END_ALLOW_THREADS
+
+  size_t total = 0;
+  for (const auto& p : parts) total += p.size();
+  PyObject* out = PyBytes_FromStringAndSize(nullptr, (Py_ssize_t)total);
+  if (out) {
+    char* dst = PyBytes_AS_STRING(out);
+    for (const auto& p : parts) {
+      memcpy(dst, p.data(), p.size());
+      dst += p.size();
+    }
+  }
+  PyBuffer_Release(&flat_buf);
+  PyBuffer_Release(&off_buf);
+  return out;
+}
+
+static PyMethodDef native_functions[] = {
+    {"render_clust", native_render_clust, METH_VARARGS,
+     "Render (flat uint64 ids, int64 group offsets) to .clust text bytes."},
+    {nullptr, nullptr, 0, nullptr},
+};
+
 // ------------------------------------------------------------------ module
 
 static PyModuleDef native_module = {
     PyModuleDef_HEAD_INIT, "_kmerlsh_native",
     "Native host runtime: FASTQ streaming + k-mer counting", -1,
-    nullptr,
+    native_functions,
 };
 
 }  // namespace

@@ -80,3 +80,26 @@ def test_native_counter_cap_and_lex_order():
     assert counts[0] == 100
     lex = codec.lex_value(packed, k)
     assert np.all(np.diff(lex.astype(np.int64)) > 0)
+
+
+def test_native_render_clust_matches_fallback():
+    """Native bytes-level .clust renderer == NumPy fallback, byte for byte
+    (format: io/ioMatrix.cc:265-294)."""
+    from kmerlsh_tpu.io import clusterio
+
+    rng = np.random.default_rng(7)
+    sizes = rng.integers(1, 9, size=5000).astype(np.int64)
+    flat = rng.integers(0, 1 << 63, size=sizes.sum()).astype(np.uint64)
+    # include boundary values
+    flat[0] = 0
+    flat[1] = np.uint64(2**64 - 1)
+    native_out = clusterio._render_clust(flat, sizes)
+    assert clusterio._native is not None
+    import unittest.mock as mock
+
+    with mock.patch.object(clusterio, "_native", None):
+        fallback_out = clusterio._render_clust(flat, sizes)
+    assert native_out == fallback_out
+    # empty input renders empty
+    assert clusterio._render_clust(
+        np.empty(0, np.uint64), np.empty(0, np.int64)) == b""

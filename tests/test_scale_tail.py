@@ -55,9 +55,12 @@ def test_group_by_roots_and_save_scale(tmp_path):
                           ignore_small=5)
     t_save = time.perf_counter() - t0
 
-    # seconds, not minutes (generous bounds for slow CI hosts)
+    # seconds, not minutes (generous bounds for slow CI hosts); with the
+    # native renderer (tens of M ids/s) the save must stay off the headline
+    # path entirely
     assert t_assemble < 30, f"assembly took {t_assemble:.1f}s"
-    assert t_save < 60, f"save took {t_save:.1f}s"
+    save_bound = 5 if clusterio._native is not None else 60
+    assert t_save < save_bound, f"save took {t_save:.1f}s"
 
     # spot-check the rendered text against the trusted slow path
     kept = members.select(members.sizes > 5)
