@@ -82,6 +82,9 @@ def make_data(n_rows: int) -> str:
         return sub
     rng = np.random.default_rng(0)
     S = N_SAMPLES
+    # the matrix is written to a temp name and renamed LAST (below), so a
+    # driver kill mid-generation can never leave a half-written dataset
+    # that later runs silently benchmark against
 
     n_base = max(64, n_rows >> 7)
     cur = rng.normal(size=(n_base, S)).astype(np.float32)
@@ -105,7 +108,6 @@ def make_data(n_rows: int) -> str:
     vals += 0.01 * rng.standard_normal((n_rows, S)).astype(np.float32)
     counts = np.clip(np.rint(np.expm1(vals)), 1, 65535).astype(np.uint16)
 
-    counts.T.astype("<u2").tofile(marker)
     cov = np.log(np.maximum(counts, 1).astype(np.float64)).sum(axis=0)
     with open(os.path.join(sub, "kmer_count.log"), "w") as f:
         f.write(str(n_rows))
@@ -116,6 +118,8 @@ def make_data(n_rows: int) -> str:
         with open(os.path.join(sub, name), "w") as f:
             for i in rng_:
                 f.write(f"s{i}.fastq db{i}\n")
+    counts.T.astype("<u2").tofile(marker + ".part")
+    os.rename(marker + ".part", marker)   # completeness marker goes last
     return sub
 
 
@@ -148,15 +152,32 @@ def _worker_tpu() -> dict:
         return time.perf_counter() - t0, stages
 
     cold_s, st = once("cold")
-    warm_s = min(once(f"warm{i}")[0] for i in range(2))
-    return {
+    warm_runs = [once(f"warm{i}") for i in range(2)]
+    warm_s, wst = min(warm_runs, key=lambda r: r[0])
+    out = {
         "rows": n_rows,
         "cold_seconds": round(cold_s, 2),
         "warm_seconds": round(warm_s, 2),
         "read_upload_seconds": round(st.times.get("read_batch", 0.0), 2),
-        "save_seconds": round(st.times.get("C_save", 0.0), 2),
-        "clusters": st.metrics.get("clusters"),
+        "save_seconds": round(wst.times.get("C_save", 0.0), 2),
+        "clusters": wst.metrics.get("clusters"),
     }
+    # engine split (VERDICT r3 #1b): device program wall vs device→host
+    # pulls — lets a reader separate engine speed from tunnel artifacts
+    for key in ("device_seconds", "pull_seconds"):
+        if key in wst.times:
+            out[key] = round(wst.times[key], 2)
+    if "pull_bytes" in wst.metrics:
+        out["pull_mb"] = round(wst.metrics["pull_bytes"] / 1e6, 1)
+    try:
+        from kmerlsh_tpu.utils.timing import device_memory_stats
+
+        stats = device_memory_stats()
+        if "peak_bytes_in_use" in stats:
+            out["peak_hbm_gb"] = round(stats["peak_bytes_in_use"] / 2**30, 2)
+    except Exception:
+        pass
+    return out
 
 
 def _worker_reads() -> dict:
@@ -176,6 +197,7 @@ def _worker_reads() -> dict:
 
     out = {}
     for name, fn in (("host", readops.score_part),
+                     ("native", readops.score_part_native),
                      ("device", readops.score_part_device)):
         fn(seqs[:1024], diff, k, 0.5)      # warm / compile
         t0 = time.perf_counter()
@@ -284,11 +306,122 @@ def _worker_mode_kb() -> dict:
     }
 
 
+def _prep_mode_e_artifacts() -> tuple[str, int, int]:
+    """Deterministic mode-E workload on the modeB fixture: stage-B artifacts
+    plus a synthesized cluster file with two large group-differential
+    clusters (one per tail) and a tail of small untested ones. Both
+    implementations then run the IDENTICAL `-M E --only` job. Returns
+    (workdir, total_reads, kmap)."""
+    from kmerlsh_tpu.cluster.groups import Groups
+    from kmerlsh_tpu.io import clusterio, counts as countsio
+
+    sub, fastqs = _gen_mode_b_data()
+    log_path = os.path.join(sub, "kmer_count.log")
+    if not os.path.exists(log_path):
+        from kmerlsh_tpu.io.samples import get_input
+
+        _, dbs1 = get_input(os.path.join(sub, "l1"))
+        _, dbs2 = get_input(os.path.join(sub, "l2"))
+        countsio.build_count_matrix(dbs1 + dbs2, 23, sub, verbose=False)
+    kmap, _ = countsio.read_log(log_path)
+
+    clust = os.path.join(sub, "clust_e.txt")
+    if not os.path.exists(clust + ".clust"):
+        big = 100_000
+        n_small, small_sz = 1000, 10
+        ids = [np.arange(big, dtype=np.uint64),
+               np.arange(big, 2 * big, dtype=np.uint64)]
+        base = 2 * big
+        for i in range(n_small):
+            ids.append(np.arange(base + i * small_sz,
+                                 base + (i + 1) * small_sz, dtype=np.uint64))
+        groups = Groups.from_list(ids, dtype=np.uint64)
+        # centroids: per-sample values; group A = first 3 samples. Cluster 0
+        # high in A (righttail → group1), cluster 1 high in B (lefttail).
+        cents = np.ones((2 + n_small, 6), np.float32)
+        cents[0] = [5.0, 5.1, 4.9, 1.0, 1.1, 0.9]
+        cents[1] = [1.0, 1.1, 0.9, 5.0, 5.1, 4.9]
+        clusterio.save_result(groups, clust + ".clust")
+        clusterio.save_binary(cents, groups, clust)
+    return sub, 6 * 120_000, kmap
+
+
+def _worker_mode_e() -> dict:
+    """Mode E end-to-end (WRS + extraction over every FASTQ) with our
+    pipeline; the orchestrator times the reference binary on the SAME
+    artifacts (io/ioFastQ.cc:78-158 + funcAB.cc:73-108 head-to-head).
+    Forces the CPU jax platform: the t-test is tiny and the native scorer
+    needs no device — no remote-compile exposure."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from kmerlsh_tpu.config import HyperParams
+    from kmerlsh_tpu.pipeline import kmer_cluster
+
+    sub, total_reads, _ = _prep_mode_e_artifacts()
+    out = {}
+    for scorer in ("native", "host"):
+        p = HyperParams(
+            input1=os.path.join(sub, "l1"), input2=os.path.join(sub, "l2"),
+            output1=os.path.join(sub, f"e_{scorer}_A"),
+            output2=os.path.join(sub, f"e_{scorer}_B"),
+            clust_file_name=os.path.join(sub, "clust_e.txt"),
+            tmp_dir=os.path.join(sub, "tmp"), work_dir=sub, k=23,
+            size_thresh=50_000, read_scorer=scorer,
+            kmc=False, bin=False, clustering=False, extracting=True,
+        )
+        t0 = time.perf_counter()
+        kmer_cluster(p)
+        dt = time.perf_counter() - t0
+        out[f"{scorer}_seconds"] = round(dt, 2)
+        out[f"{scorer}_reads_per_s"] = round(total_reads / dt, 1)
+    out["total_reads"] = total_reads
+    out["workdir"] = sub
+    return out
+
+
+def reference_mode_e(workdir: str, total_reads: int,
+                     box_s: float) -> dict | None:
+    """Time the reference binary's ``-M E --only`` on the same artifacts."""
+    cache = os.path.join(REF_BUILD, "baseline_modeE.json")
+    if os.path.exists(cache):
+        with open(cache) as f:
+            return json.load(f)
+    binary = _build_reference()
+    if binary is None:
+        return None
+    refdir = os.path.join(workdir, "ref_e")
+    os.makedirs(refdir, exist_ok=True)
+    for f in ("kmer_set.hex", "kmer_count.bin", "kmer_count.log",
+              "clust_e.txt", "clust_e.txt.clust"):
+        shutil.copy(os.path.join(workdir, f), os.path.join(refdir, f))
+    try:
+        t0 = time.perf_counter()
+        subprocess.run(
+            [binary, "-a", os.path.join(workdir, "l1"),
+             "-b", os.path.join(workdir, "l2"),
+             "-o", os.path.join(refdir, "eA"),
+             "-p", os.path.join(refdir, "eB"),
+             "-M", "E", "--only", "-F", "clust_e.txt", "-K", "23",
+             "-S", "50000", "-T", "12"],
+            cwd=refdir, check=True, capture_output=True, timeout=box_s)
+        dt = time.perf_counter() - t0
+        result = {"seconds": round(dt, 2),
+                  "reads_per_s": round(total_reads / dt, 1), "threads": 12}
+        with open(cache, "w") as f:
+            json.dump(result, f)
+        return result
+    except Exception as e:
+        note(f"reference mode E unavailable: {e}")
+        return None
+
+
 WORKERS = {
     "tpu": _worker_tpu,
     "reads": _worker_reads,
     "scaling": _worker_scaling,
     "mode_kb": _worker_mode_kb,
+    "mode_e": _worker_mode_e,
 }
 
 
@@ -341,27 +474,39 @@ def _build_reference() -> str | None:
         return None
 
 
-def reference_mode_c(sub: str, box_s: float,
-                     n_rows: int = N_ROWS) -> dict | None:
+def reference_mode_c(sub: str, box_s: float, n_rows: int = N_ROWS,
+                     threads: int = 12) -> dict | None:
     """Time the reference binary's mode C on the same matrix.  On overrun:
     kill it, parse ``Iteration:`` progress from --verbose stdout, and
     record the elapsed time as a LOWER BOUND (the remaining iterations are
-    treated as free), so speedups computed against it are conservative."""
-    cache = os.path.join(REF_BUILD, f"baseline_c{n_rows >> 20}M.json")
+    treated as free), so speedups computed against it are conservative.
+
+    A completed measurement caches forever; a lower-bound (killed) one
+    caches PROVISIONALLY and is re-attempted whenever a later run brings a
+    bigger time box than the recorded elapsed time."""
+    tag = f"c{n_rows >> 20}M" + (f"_t{threads}" if threads != 12 else "")
+    cache = os.path.join(REF_BUILD, f"baseline_{tag}.json")
+    cache_lb = os.path.join(REF_BUILD, f"baseline_{tag}_lower.json")
     if os.path.exists(cache):
         with open(cache) as f:
             return json.load(f)
+    prov = None
+    if os.path.exists(cache_lb):
+        with open(cache_lb) as f:
+            prov = json.load(f)
+        if box_s <= prov["seconds"] + 60:
+            return prov          # no chance of beating the recorded bound
     binary = _build_reference()
     if binary is None:
-        return None
+        return prov
     os.makedirs(os.path.join(sub, "tmp"), exist_ok=True)
     lines: list[str] = []
     t0 = time.perf_counter()
     proc = subprocess.Popen(
         [binary, "-a", "l1", "-b", "l2", "-o", "oA", "-p", "oB",
          "-M", "C", "--only", "-I", str(ITERATIONS), "-N", str(MIN_SIM),
-         "-T", "12", "-F", "ref_result.txt", "--verbose"],
-        cwd=sub, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+         "-T", str(threads), "-F", "ref_result.txt", "--verbose"],
+        cwd=sub, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True)
 
     def pump():
@@ -373,26 +518,36 @@ def reference_mode_c(sub: str, box_s: float,
     try:
         proc.wait(timeout=box_s)
         elapsed = time.perf_counter() - t0
+        th.join(timeout=5)
+        if proc.returncode != 0:
+            # a crashed reference must never be cached as a baseline
+            note(f"reference mode C rc={proc.returncode}: "
+                 f"{''.join(lines)[-400:]}")
+            return prov
         result = {"seconds": round(elapsed, 2), "lower_bound": False,
-                  "threads": 12, "host_cores": os.cpu_count()}
+                  "threads": threads, "host_cores": os.cpu_count()}
+        with open(cache, "w") as f:
+            json.dump(result, f)
+        return result
     except subprocess.TimeoutExpired:
         proc.kill()
         proc.wait()
         elapsed = time.perf_counter() - t0
+        th.join(timeout=5)
         iters = sum(1 for ln in lines if ln.startswith("Iteration:"))
         result = {
             "seconds": round(elapsed, 2), "lower_bound": True,
             "iterations_done": iters, "iterations_total": ITERATIONS,
-            "threads": 12, "host_cores": os.cpu_count(),
+            "threads": threads, "host_cores": os.cpu_count(),
             "model": (f"killed at the {box_s:.0f}s box after {iters}/"
                       f"{ITERATIONS} anneal iterations; 'seconds' is the "
                       "elapsed lower bound (remaining iterations treated "
                       "as free), so vs_baseline UNDERSTATES the speedup"),
         }
-    th.join(timeout=5)
-    with open(cache, "w") as f:
-        json.dump(result, f)
-    return result
+        if prov is None or result["seconds"] > prov["seconds"]:
+            with open(cache_lb, "w") as f:
+                json.dump(result, f)
+        return result
 
 
 def reference_mode_b(workdir: str, records: int, box_s: float) -> dict | None:
@@ -478,10 +633,14 @@ def main() -> None:
     if tpu:
         results["value"] = round(n_headline / tpu["warm_seconds"], 1)
         results["tpu"] = tpu
+        if tpu.get("device_seconds"):
+            results["device_rows_per_s"] = round(
+                n_headline / tpu["device_seconds"], 1)
         results["note"] = (
             "value = warm device-resident rate (counts in HBM; on local "
             "PCIe the one-time upload is ~30 ms); cold_seconds includes "
-            "host read + remote-tunnel upload")
+            "host read + remote-tunnel upload; device_seconds/pull_seconds "
+            "split engine compute from tunnel transfers")
     emit()
 
     # ---- phase 2: reference baseline (same row count as the headline) -----
@@ -495,6 +654,23 @@ def main() -> None:
             results["reference_seconds"] = ref["seconds"]
             results["vs_baseline"] = round(
                 ref["seconds"] / tpu["warm_seconds"], 3)
+            results["vs_baseline_cold"] = round(
+                ref["seconds"] / tpu["cold_seconds"], 3)
+            # fair-hardware roofline: model the reference on 12 real cores
+            # by perfect-linear per-core scaling of the measured run (the
+            # most conservative assumption FOR US)
+            cores = ref.get("host_cores") or os.cpu_count()
+            model_12c = ref["seconds"] * cores / max(ref["threads"], 1)
+            results["reference_12core_model_seconds"] = round(model_12c, 1)
+            results["vs_12core_model"] = round(
+                model_12c / tpu["warm_seconds"], 3)
+            if tpu.get("device_seconds"):
+                results["vs_12core_model_device"] = round(
+                    model_12c / tpu["device_seconds"], 3)
+            results["vs_baseline_context"] = (
+                f"reference ran {ref['threads']} threads on {cores} physical "
+                "cores (oversubscribed); *_12core_model assumes perfect "
+                "linear scaling to 12 cores — see BASELINE.md roofline")
             if ref.get("lower_bound"):
                 results["vs_baseline_note"] = ref["model"]
         emit()
@@ -516,10 +692,28 @@ def main() -> None:
     else:
         note("skipping mode K/B bench: out of budget")
 
+    # ---- phase 4: mode E head-to-head --------------------------------------
+    if remaining() > 300:
+        mode_e = run_worker("mode_e", min(remaining() - 180, 600))
+        if mode_e:
+            results["mode_e"] = mode_e
+            refe = reference_mode_e(mode_e["workdir"],
+                                    mode_e["total_reads"],
+                                    box_s=min(remaining() - 90, 600))
+            if refe:
+                results["mode_e"]["reference_seconds"] = refe["seconds"]
+                results["mode_e"]["reference_reads_per_s"] = \
+                    refe["reads_per_s"]
+                results["mode_e"]["e_vs_reference"] = round(
+                    refe["seconds"] / mode_e["native_seconds"], 3)
+        emit()
+    else:
+        note("skipping mode E bench: out of budget")
+
     if remaining() > 240:
         reads = run_worker("reads", min(remaining() - 120, 420))
         if reads:
-            results["mode_e_reads_per_s"] = reads
+            results["mode_e_scorer_reads_per_s"] = reads
         emit()
     else:
         note("skipping read-scoring bench: out of budget")
@@ -530,13 +724,13 @@ def main() -> None:
             env_extra={"JAX_PLATFORMS": "cpu",
                        "XLA_FLAGS": "--xla_force_host_platform_device_count=8"})
         if scaling:
-            results["cpu_mesh_rows_per_s_per_device"] = scaling
-            results["cpu_mesh_note"] = (
-                f"{os.cpu_count()} physical cores host all virtual devices: "
-                "the per-device drop is host oversubscription, not "
-                "collective overhead (per-iteration collective bytes are "
-                "O(exchange_cap) per device — asserted on HLO in "
-                "tests/test_dist.py)")
+            results["host_oversubscription_probe"] = scaling
+            results["host_oversubscription_note"] = (
+                f"{os.cpu_count()} physical cores host all 1..8 virtual "
+                "devices, so per-device rows/s drops with device count by "
+                "construction — NOT a scaling regression; the real scaling "
+                "evidence is the O(exchange_cap) per-device collective "
+                "bytes bound asserted on lowered HLO in tests/test_dist.py")
         emit()
     else:
         note("skipping CPU-mesh scaling bench: out of budget")

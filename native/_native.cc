@@ -426,6 +426,160 @@ static PyTypeObject KmerCounterType = {
     PyVarObject_HEAD_INIT(nullptr, 0)
 };
 
+// -------------------------------------------------------------- ReadScorer
+//
+// Mode-E differential-read scorer (io/ioFastQ.cc:5-76 semantics, identical
+// selection contract to kmerlsh_tpu.ops.reads.score_part): slides every
+// window of each read (non-ACGT bases encode as A, windows are NOT
+// skipped), canonicalizes by the memcmp rule, counts membership in the
+// differential set, selects iff hits/(len-k+1) > vote and len >= k+10.
+// The diff set lives in an open-addressing hash table built once per group
+// (the reference rebuilds an unordered_set per group too); scoring is
+// read-parallel over a read-only table — no locks.
+
+static inline uint64_t memcmp_key(uint64_t packed) {
+  return __builtin_bswap64(packed);
+}
+
+struct ReadScorerObject {
+  PyObject_HEAD
+  int k;
+  uint64_t mask2k;      // (1 << 2k) - 1
+  std::vector<uint64_t>* table;  // open addressing; kEmpty = empty
+  size_t tmask;
+};
+
+static void ReadScorer_dealloc(ReadScorerObject* self) {
+  delete self->table;
+  Py_TYPE(self)->tp_free((PyObject*)self);
+}
+
+static PyObject* ReadScorer_new(PyTypeObject* type, PyObject* args,
+                                PyObject* kwds) {
+  Py_buffer keys;
+  int k = 0;
+  static const char* kwlist[] = {"diff_keys", "k", nullptr};
+  if (!PyArg_ParseTupleAndKeywords(args, kwds, "y*i",
+                                   const_cast<char**>(kwlist), &keys, &k))
+    return nullptr;
+  if (k < 1 || k > 31) {
+    PyBuffer_Release(&keys);
+    PyErr_SetString(PyExc_ValueError, "k must be in [1, 31]");
+    return nullptr;
+  }
+  ReadScorerObject* self = (ReadScorerObject*)type->tp_alloc(type, 0);
+  if (!self) {
+    PyBuffer_Release(&keys);
+    return nullptr;
+  }
+  self->k = k;
+  self->mask2k = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+  const uint64_t* kv = (const uint64_t*)keys.buf;
+  size_t n = (size_t)keys.len / 8;
+  size_t cap = 16;
+  while (cap < 2 * n + 1) cap <<= 1;
+  self->table = new std::vector<uint64_t>(cap, kEmpty);
+  self->tmask = cap - 1;
+  std::vector<uint64_t>& t = *self->table;
+  for (size_t j = 0; j < n; ++j) {
+    uint64_t key = kv[j];
+    size_t i = splitmix64(key) & self->tmask;
+    while (t[i] != kEmpty && t[i] != key) i = (i + 1) & self->tmask;
+    t[i] = key;
+  }
+  PyBuffer_Release(&keys);
+  return (PyObject*)self;
+}
+
+// score(seq_blob, offsets: int64[n+1], vote, threads=0) -> bytes(uint8[n])
+static PyObject* ReadScorer_score(ReadScorerObject* self, PyObject* args) {
+  Py_buffer blob, off;
+  double vote = 0.5;
+  int threads = 0;
+  if (!PyArg_ParseTuple(args, "y*y*d|i", &blob, &off, &vote, &threads))
+    return nullptr;
+  const uint8_t* s = (const uint8_t*)blob.buf;
+  const int64_t* o = (const int64_t*)off.buf;
+  Py_ssize_t n_reads = off.len / (Py_ssize_t)sizeof(int64_t) - 1;
+  if (n_reads < 0) n_reads = 0;
+  if (threads <= 0) {
+    unsigned hc = std::thread::hardware_concurrency();
+    threads = hc ? (int)hc : 1;
+  }
+  if ((Py_ssize_t)threads > n_reads) threads = n_reads > 0 ? (int)n_reads : 1;
+
+  PyObject* out = PyBytes_FromStringAndSize(nullptr, n_reads);
+  if (!out) {
+    PyBuffer_Release(&blob);
+    PyBuffer_Release(&off);
+    return nullptr;
+  }
+  uint8_t* mask = (uint8_t*)PyBytes_AS_STRING(out);
+  const int k = self->k;
+  const uint64_t m2k = self->mask2k;
+  const std::vector<uint64_t>& t = *self->table;
+  const size_t tmask = self->tmask;
+
+  auto score_range = [&](Py_ssize_t r0, Py_ssize_t r1) {
+    for (Py_ssize_t r = r0; r < r1; ++r) {
+      int64_t beg = o[r], end = o[r + 1];
+      int64_t len = end - beg;
+      mask[r] = 0;
+      if (len < k + 10) continue;            // strict '<' (ioFastQ.cc:25)
+      uint64_t fwd = 0;
+      int64_t hits = 0;
+      for (int64_t i = beg; i < end; ++i) {
+        uint8_t c = kBaseCode[s[i]];
+        if (c > 3) c = 0;                    // non-ACGT encodes as A
+        fwd = ((fwd >> 2) | ((uint64_t)c << (2 * (k - 1)))) & m2k;
+        if (i - beg + 1 < k) continue;
+        uint64_t kf = memcmp_key(fwd);
+        uint64_t kr = memcmp_key(revcomp(fwd, k));
+        uint64_t key = kf < kr ? kf : kr;
+        size_t j = splitmix64(key) & tmask;
+        while (t[j] != kEmpty) {
+          if (t[j] == key) {
+            ++hits;
+            break;
+          }
+          j = (j + 1) & tmask;
+        }
+      }
+      double denom = (double)(len - k + 1);
+      if ((double)hits / denom > vote) mask[r] = 1;
+    }
+  };
+
+  Py_BEGIN_ALLOW_THREADS
+  if (threads <= 1) {
+    score_range(0, n_reads);
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(threads);
+    for (int tix = 0; tix < threads; ++tix) {
+      Py_ssize_t r0 = n_reads * tix / threads;
+      Py_ssize_t r1 = n_reads * (tix + 1) / threads;
+      pool.emplace_back([&, r0, r1] { score_range(r0, r1); });
+    }
+    for (auto& th : pool) th.join();
+  }
+  Py_END_ALLOW_THREADS
+
+  PyBuffer_Release(&blob);
+  PyBuffer_Release(&off);
+  return out;
+}
+
+static PyMethodDef ReadScorer_methods[] = {
+    {"score", (PyCFunction)ReadScorer_score, METH_VARARGS,
+     "Score reads against the differential k-mer set; returns uint8 mask."},
+    {nullptr, nullptr, 0, nullptr},
+};
+
+static PyTypeObject ReadScorerType = {
+    PyVarObject_HEAD_INIT(nullptr, 0)
+};
+
 // ------------------------------------------------------------ render_clust
 //
 // Bytes-level renderer for the `.clust` text format (one line per cluster,
@@ -553,11 +707,21 @@ PyMODINIT_FUNC PyInit__kmerlsh_native(void) {
   KmerCounterType.tp_methods = KmerCounter_methods;
   if (PyType_Ready(&KmerCounterType) < 0) return nullptr;
 
+  ReadScorerType.tp_name = "_kmerlsh_native.ReadScorer";
+  ReadScorerType.tp_basicsize = sizeof(ReadScorerObject);
+  ReadScorerType.tp_dealloc = (destructor)ReadScorer_dealloc;
+  ReadScorerType.tp_flags = Py_TPFLAGS_DEFAULT;
+  ReadScorerType.tp_new = ReadScorer_new;
+  ReadScorerType.tp_methods = ReadScorer_methods;
+  if (PyType_Ready(&ReadScorerType) < 0) return nullptr;
+
   PyObject* m = PyModule_Create(&native_module);
   if (!m) return nullptr;
   Py_INCREF(&FastqReaderType);
   PyModule_AddObject(m, "FastqReader", (PyObject*)&FastqReaderType);
   Py_INCREF(&KmerCounterType);
   PyModule_AddObject(m, "KmerCounter", (PyObject*)&KmerCounterType);
+  Py_INCREF(&ReadScorerType);
+  PyModule_AddObject(m, "ReadScorer", (PyObject*)&ReadScorerType);
   return m;
 }
