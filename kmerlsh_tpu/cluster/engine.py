@@ -497,6 +497,79 @@ def _finalize_program(values_t, sizes, slots, parent, fc: int, jumps: int):
     return jnp.concatenate([sizes[:fc], slots[:fc], roots, vbits])
 
 
+def _fwd_fill(starts, vals):
+    """Forward-fill ``vals`` from each segment start over the whole array
+    (full log-depth — segments here are cluster memberships and can span
+    the entire capacity)."""
+    f = starts
+    fill = vals
+    d = 1
+    m = vals.shape[0]
+    for _ in range(max(m - 1, 1).bit_length()):
+        fill = jnp.where(f, fill, _shift(fill, d))
+        f = f | _shift(f, d, fill=True)
+        d *= 2
+    return fill
+
+
+@partial(jax.jit, static_argnames=("fc", "jumps"))
+def _finalize_grouped(values_t, sizes, slots, parent, fc: int, jumps: int):
+    """Root resolution + FULL membership grouping on device, packed into
+    ONE i32 buffer: ``[flat_members(cap0) | seg_lens(fc) | seg_sizes(fc) |
+    centroid bits(S·fc)]``.
+
+    The host equivalent (:func:`_group_by_roots`) costs ~9 s at the
+    2^24-row headline (a stable argsort + fancy-indexed reorder of the full
+    row set on 2 host cores); here the same grouping is two stable payload
+    sorts + log-shift fills on device (~0.3 s) and the pull stays the same
+    size as the old roots-based buffer.
+
+    Ordering contract (same as :func:`_group_by_roots`): clusters by
+    smallest member id, member ids ascending within each cluster; rows
+    whose root is dead (filtered rows) sort to the tail and are excluded
+    by the lengths."""
+    s = values_t.shape[0]
+    cap0 = parent.shape[0]
+    roots = parent
+    for _ in range(jumps):
+        roots = roots[roots]
+    big = jnp.int32(cap0)
+    alive_of_slot = jnp.zeros((cap0,), jnp.bool_).at[slots].set(
+        sizes > 0, mode="drop")
+    pos_of_slot = jnp.zeros((cap0,), jnp.int32).at[slots].set(
+        jnp.arange(fc, dtype=jnp.int32), mode="drop")
+    rows = jnp.arange(cap0, dtype=jnp.int32)
+    key = jnp.where(alive_of_slot[roots], roots, big)
+
+    # sort 1: by root; stable ⇒ member ids ascend within each segment
+    key_s, rows_s = jax.lax.sort((key, rows), num_keys=1, is_stable=True)
+    starts = jnp.concatenate(
+        [jnp.ones(1, bool), key_s[1:] != key_s[:-1]])
+    first = _fwd_fill(starts, rows_s)        # segment's smallest member id
+    first = jnp.where(key_s == big, big, first)
+
+    # sort 2: by first member; stable ⇒ segments stay contiguous, members
+    # stay ascending, dead rows (first = big) sink to the tail
+    first_s, flat, key_s2 = jax.lax.sort(
+        (first, rows_s, key_s), num_keys=1, is_stable=True)
+    starts2 = jnp.concatenate(
+        [jnp.ones(1, bool), first_s[1:] != first_s[:-1]])
+    valid = first_s != big
+    live_start = starts2 & valid
+    seg_id = jnp.cumsum(live_start.astype(jnp.int32)) - 1
+    seg_idc = jnp.clip(seg_id, 0, fc - 1)
+    lens = jnp.zeros((fc,), jnp.int32).at[seg_idc].add(
+        valid.astype(jnp.int32), mode="drop")
+    seg_root = jnp.zeros((fc,), jnp.int32).at[
+        jnp.where(live_start, seg_idc, fc)].set(key_s2, mode="drop")
+
+    p = pos_of_slot[jnp.clip(seg_root, 0, cap0 - 1)]
+    cents = values_t[:, p]                   # [S, fc] in final cluster order
+    csizes = sizes[p]
+    vbits = jax.lax.bitcast_convert_type(cents, jnp.int32).reshape(-1)
+    return jnp.concatenate([flat, lens, csizes, vbits])
+
+
 def upload_counts(counts: np.ndarray) -> tuple[jax.Array, int]:
     """Pad a uint16 [S, N] count batch to capacity and place it on device.
 
@@ -568,7 +641,7 @@ def _drive_session(values_t, sizes, slots, parent, na, it, thr, base_rng,
     jumps = max(6, math.ceil(math.log2(total * rpi + 2)) + 1)
     fc = min(cap, _pad_capacity(max(na, 1)))
     t0 = time.perf_counter()
-    dev_buf = _finalize_program(values_t, sizes, slots, parent, fc, jumps)
+    dev_buf = _finalize_grouped(values_t, sizes, slots, parent, fc, jumps)
     jax.block_until_ready(dev_buf)
     t1 = time.perf_counter()
     buf = np.asarray(dev_buf)                 # one pull (1 RT)
@@ -576,17 +649,19 @@ def _drive_session(values_t, sizes, slots, parent, na, it, thr, base_rng,
     LAST_SESSION["device_seconds"] += t1 - t0
     LAST_SESSION["pull_seconds"] += t2 - t1
     LAST_SESSION["pull_bytes"] = LAST_SESSION.get("pull_bytes", 0) + buf.nbytes
-    final_sizes = buf[:fc]
-    final_slots = buf[fc:2 * fc]
-    roots_np = buf[2 * fc:2 * fc + cap0][:n]
-    final_vals_t = buf[2 * fc + cap0:].view(np.float32).reshape(s, fc)
 
-    # group input rows by forest root (alive roots only — filtered rows are
-    # their own dead roots and are dropped, matching ioMatrix.cc:381).
-    # Fully vectorized: at design-point scale (1e6+ clusters) any
-    # per-cluster Python loop would dominate the whole session.
-    return _group_by_roots(roots_np, final_slots[:na], final_sizes[:na],
-                           final_vals_t[:, :na])
+    # unpack: grouping happened on device (filtered rows — their own dead
+    # roots, ioMatrix.cc:381 — sorted to the tail and excluded by lens);
+    # the host only builds offsets and views
+    from kmerlsh_tpu.cluster.groups import Groups
+
+    flat_all = buf[:cap0]
+    lens = buf[cap0:cap0 + fc][:na].astype(np.int64)
+    csizes = buf[cap0 + fc:cap0 + 2 * fc][:na].astype(np.int64)
+    vals = buf[cap0 + 2 * fc:].view(np.float32).reshape(s, fc)[:, :na]
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    members = Groups(flat_all[:offs[-1]].astype(np.int64), offs)
+    return np.ascontiguousarray(vals.T), csizes, members
 
 
 def _group_by_roots(roots, alive_slots, alive_sizes, alive_vals_t):

@@ -270,11 +270,21 @@ def _my_cols(mesh, s: int, n_cols: int) -> tuple[int, int]:
     return lo, hi
 
 
+HANDOFF_CAP = 1 << 22   # once global alive fits this, the anneal tail runs
+                        # single-device (exact 1-chip merge semantics)
+
+
 def _drive(head_fn, head_args, mesh, thresholds, seed, e, verbose,
            progs) -> tuple:
     """Shared host loop: head program → chunk programs with per-device
     capacity shrinking → final compact + pull. Returns
-    (values_t [S, D*Cf] np, sizes, slots, parent, n_alive)."""
+    ((values_t [S, D*Cf] np, sizes, slots, parent, n_alive), rest) where
+    ``rest`` is the un-run tail of the threshold schedule: once the global
+    alive count fits ``HANDOFF_CAP`` the loop exits early and the caller
+    replays the remaining anneal on a single device — the
+    threshold-sensitive tail then has EXACT single-chip merge semantics
+    (every survivor pair shares one memory space every iteration), which
+    the fixed-capacity exchange cannot guarantee at scale."""
     _, _, chunk, slice_to = progs
     thr = np.asarray(thresholds, np.float32)
     total = len(thr)
@@ -292,7 +302,7 @@ def _drive(head_fn, head_args, mesh, thresholds, seed, e, verbose,
     if verbose:
         print(f"[dist] head ({head_k} iters): {na} clusters")
 
-    while it < total:
+    while it < total and (na > HANDOFF_CAP or n_dev == 1):
         new_c = min(c_loc, _local_cap(max(max_alive, 1), 1))
         if new_c < c_loc:
             values_t, sizes, slots = slice_to(
@@ -318,13 +328,35 @@ def _drive(head_fn, head_args, mesh, thresholds, seed, e, verbose,
     values_t, sizes, slots = slice_to((values_t, sizes, slots), fin_c)
     from kmerlsh_tpu.parallel.multihost import gather_np
 
-    return (gather_np(values_t), gather_np(sizes), gather_np(slots),
-            gather_np(parent), na)
+    return ((gather_np(values_t), gather_np(sizes), gather_np(slots),
+             gather_np(parent), na), thr[it:])
 
 
-def _assemble(values_t, sizes, slots, parent, n_rows: int):
+TERMINAL_ITERS = 5   # = the reference's per-merge-round iteration count
+                     # (Cluster(..., iters=5), app/kmerLSH.cc:375-387); only
+                     # used when survivors never fit the single-device
+                     # handoff (alive > HANDOFF_CAP at the end of the anneal)
+
+
+def _assemble(values_t, sizes, slots, parent, n_rows: int,
+              extra_thresholds=None, seed: int = 0,
+              verbose: bool = False):
     """Host-side root resolution + membership assembly (same contract as
-    cluster.engine.cluster: order by smallest member id)."""
+    cluster.engine.cluster: order by smallest member id).
+
+    ``extra_thresholds`` runs a single-device GLOBAL pass over all
+    survivors before assembly. Two uses:
+
+      * **handoff** — the un-run tail of the anneal schedule (from
+        ``_drive``): the threshold-sensitive final iterations replay with
+        exact single-chip semantics, eliminating cross-shard fragmentation
+        (the fixed-capacity exchange only gives each survivor a cross-shard
+        chance every ⌈alive/e⌉ iterations — measured +187% cluster-count
+        inflation at 2^20×8dev without this);
+      * **terminal rounds** — ``TERMINAL_ITERS`` repeats of the final
+        threshold when survivors exceeded the handoff budget, the analog of
+        the reference's "merge tmp batches until one remains"
+        (app/kmerLSH.cc:354-411)."""
     r = parent.astype(np.int64)
     while True:
         nr = r[r]
@@ -336,8 +368,53 @@ def _assemble(values_t, sizes, slots, parent, n_rows: int):
     from kmerlsh_tpu.cluster.engine import _group_by_roots
 
     alive = np.flatnonzero((sizes > 0) & (slots < n_rows))
-    return _group_by_roots(roots[:n_rows], slots[alive], sizes[alive],
-                           values_t[:, alive])
+    al_slots = slots[alive].astype(np.int64)
+    al_sizes = sizes[alive]
+    al_vals = values_t[:, alive]
+
+    if extra_thresholds is not None and len(extra_thresholds) and \
+            len(alive) > 1:
+        from kmerlsh_tpu.cluster import engine
+
+        thr = np.asarray(extra_thresholds, np.float32)
+        cents, tsizes, members = engine.cluster(
+            al_vals, sizes=al_sizes.astype(np.int32), thresholds=thr,
+            seed=seed, transposed=True, verbose=verbose)
+        if verbose:
+            print(f"[dist] single-device tail ({len(thr)} iters): "
+                  f"{len(alive)} -> {len(members)} clusters")
+        # members groups alive-indices; the group head (first member) slot
+        # absorbs the rest: compose row roots through the terminal groups
+        flat, offs = members.flat, members.offsets
+        heads = flat[offs[:-1]]
+        to_head = np.empty(len(alive), np.int64)
+        to_head[flat] = np.repeat(heads, members.sizes)
+        # root slot → alive index (every alive root is its own slot)
+        order = np.argsort(al_slots, kind="stable")
+        sorted_slots = al_slots[order]
+        ridx = np.searchsorted(sorted_slots, roots[:n_rows])
+        ridx_c = np.minimum(ridx, len(alive) - 1)
+        is_alive_root = sorted_slots[ridx_c] == roots[:n_rows]
+        final_roots = np.where(
+            is_alive_root, al_slots[to_head[order[ridx_c]]],
+            roots[:n_rows])
+        return _group_by_roots(final_roots, al_slots[heads],
+                               tsizes.astype(al_sizes.dtype),
+                               np.ascontiguousarray(cents.T))
+
+    return _group_by_roots(roots[:n_rows], al_slots, al_sizes, al_vals)
+
+
+def _tail_schedule(rest: np.ndarray, thresholds, mesh) -> np.ndarray | None:
+    """Single-device tail to run after the sharded prefix: the handed-off
+    remainder of the anneal when ``_drive`` exited early, terminal rounds
+    at the final threshold otherwise (multi-device meshes only)."""
+    if mesh.size <= 1:
+        return None
+    if len(rest):
+        return rest
+    return np.full(TERMINAL_ITERS,
+                   float(np.asarray(thresholds)[-1]), np.float32)
 
 
 def upload_counts_sharded(counts: np.ndarray, mesh) -> tuple[jax.Array, int]:
@@ -403,9 +480,11 @@ def cluster_counts_sharded(
 
     progs = _dist_programs(mesh, exchange_cap)
     head = progs[0]
-    pulled = _drive(head, (jcounts, jv), mesh, thresholds, seed,
-                    exchange_cap, verbose, progs)
-    return _assemble(*pulled[:4], n_rows=n)
+    pulled, rest = _drive(head, (jcounts, jv), mesh, thresholds, seed,
+                          exchange_cap, verbose, progs)
+    extra = _tail_schedule(rest, thresholds, mesh)
+    return _assemble(*pulled[:4], n_rows=n, extra_thresholds=extra,
+                     seed=seed + 99_991, verbose=verbose)
 
 
 def cluster_sharded(
@@ -446,9 +525,11 @@ def cluster_sharded(
 
     progs = _dist_programs(mesh, exchange_cap)
     head_values = progs[1]
-    pulled = _drive(head_values, (jvals, jsizes), mesh, thresholds, seed,
-                    exchange_cap, verbose, progs)
-    return _assemble(*pulled[:4], n_rows=n)
+    pulled, rest = _drive(head_values, (jvals, jsizes), mesh, thresholds,
+                          seed, exchange_cap, verbose, progs)
+    extra = _tail_schedule(rest, thresholds, mesh)
+    return _assemble(*pulled[:4], n_rows=n, extra_thresholds=extra,
+                     seed=seed + 99_991, verbose=verbose)
 
 
 def sharded_wrs(mesh, n1: int, n2: int, pval_thresh: float, size_thresh: int):

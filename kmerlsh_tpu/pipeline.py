@@ -329,7 +329,8 @@ def kmer_cluster(params: HyperParams) -> Stages:
         mesh = _mesh_or_none()
         eff_batch = min(params.batch_thresh,
                         rows_budget(len(v_kmers),
-                                    mesh.size if mesh is not None else 1))
+                                    mesh.size if mesh is not None else 1,
+                                    kmap_size=kmap_size))
         if params.verbose and eff_batch < params.batch_thresh:
             print(f"batch_thresh {params.batch_thresh} -> {eff_batch} "
                   f"(device memory budget)")

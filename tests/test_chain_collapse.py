@@ -60,3 +60,57 @@ def test_chain_skips_dead_slots():
     v, s, mi, cs = run_chain(V, sizes, keys, proj, 0.9)
     assert (s > 0).sum() == 1
     assert s[s > 0][0] == 6  # only the 6 live rows
+
+
+def test_finalize_grouped_matches_host_grouping():
+    """Device-side membership grouping (_finalize_grouped) must reproduce
+    the host reference (_group_by_roots) exactly: same cluster order
+    (smallest member first), same ascending members, same centroids/sizes,
+    dead-rooted rows excluded."""
+    import numpy as np
+    import jax.numpy as jnp
+    from kmerlsh_tpu.cluster import engine
+
+    rng = np.random.default_rng(3)
+    cap0, fc, S = 4096, 1024, 5
+    n_alive = 300
+    # alive slots: random subset; every alive slot roots to itself
+    alive_slots = np.sort(rng.choice(cap0 // 2, size=n_alive, replace=False))
+    parent = rng.permutation(np.repeat(alive_slots,
+                                       -(-cap0 // n_alive))[:cap0])
+    parent[alive_slots] = alive_slots
+    # some dead self-rooted rows (filtered)
+    dead = rng.choice(np.setdiff1d(np.arange(cap0), alive_slots), size=200,
+                      replace=False)
+    parent[dead] = dead
+    # compacted state: alive first
+    slots = np.full(fc, 0, np.int32)
+    slots[:n_alive] = alive_slots
+    slots[n_alive:] = np.setdiff1d(np.arange(cap0), alive_slots)[
+        : fc - n_alive]
+    sizes = np.zeros(fc, np.int32)
+    sizes[:n_alive] = rng.integers(1, 50, size=n_alive)
+    vals_t = rng.normal(size=(S, fc)).astype(np.float32)
+
+    buf = np.asarray(engine._finalize_grouped(
+        jnp.asarray(vals_t), jnp.asarray(sizes), jnp.asarray(slots),
+        jnp.asarray(parent.astype(np.int32)), fc, 4))
+    from kmerlsh_tpu.cluster.groups import Groups
+
+    lens = buf[cap0:cap0 + fc][:n_alive].astype(np.int64)
+    csizes = buf[cap0 + fc:cap0 + 2 * fc][:n_alive]
+    vals = buf[cap0 + 2 * fc:].view(np.float32).reshape(S, fc)[:, :n_alive]
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    got = Groups(buf[:offs[-1]].astype(np.int64), offs)
+
+    roots = parent
+    for _ in range(4):
+        roots = roots[roots]
+    want_c, want_s, want_m = engine._group_by_roots(
+        roots, alive_slots, sizes[:n_alive], vals_t[:, :n_alive])
+
+    assert len(got) == len(want_m) == n_alive
+    assert np.array_equal(got.flat, want_m.flat)
+    assert np.array_equal(got.offsets, want_m.offsets)
+    assert np.array_equal(csizes.astype(np.int64), want_s)
+    np.testing.assert_array_equal(vals.T, want_c)

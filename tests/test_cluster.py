@@ -300,3 +300,27 @@ def test_hbm_rows_budget():
     per = hbm._per_row_bytes(20)
     assert (1 << 26) * per > 15.75e9 * 0.6
     assert (1 << 25) * per < 15.75e9
+
+
+def test_hbm_budget_uses_measurement_at_the_boundary(monkeypatch):
+    """When the matrix exceeds the static estimate (the budget actually
+    decides single-batch vs out-of-core), the measured bytes/row takes
+    over: with the v5e-measured per-row cost the budget must admit 2^25×20
+    in one batch and refuse 2^26×20 (the observed fit/OOM boundary)."""
+    from kmerlsh_tpu.utils import hbm
+
+    v5e = 15_753_625_600  # bytes_limit reported by a v5e chip
+    calls = []
+
+    def fake_measured(num_samples):
+        calls.append(num_samples)
+        return 268  # bytes/row measured on v5e at S=20 (BASELINE.md)
+
+    monkeypatch.setattr(hbm, "_cached_per_row_bytes", fake_measured)
+    # small matrix: static estimate suffices, no measurement triggered
+    hbm.rows_budget(20, 1, mem=v5e, kmap_size=1 << 20)
+    assert calls == []
+    # boundary-deciding matrix: measurement kicks in
+    b = hbm.rows_budget(20, 1, mem=v5e, kmap_size=1 << 26)
+    assert calls == [20]
+    assert b == 1 << 25  # fits 2^25, refuses 2^26

@@ -168,3 +168,40 @@ def test_sharded_wrs_matches_single_device():
     got = np.asarray(fn(dist.shard_rows(m, vals), dist.shard_rows(m, sizes)))
     want = np.asarray(ttest.wrs_verdicts(vals, sizes, n1, n2, 0.01, 20))
     assert np.array_equal(got, want)
+
+
+def test_cross_shard_fragmentation_bound_at_scale():
+    """VERDICT r3 #4: at scale the fixed-capacity exchange alone leaves
+    same-cluster fragments stranded on different shards (measured 187%
+    cluster-count inflation at 2^20 rows pre-fix); the terminal cross-shard
+    merge (dist._assemble) must bound 8-device inflation vs 1-device to a
+    few percent. Anneal-sensitive hierarchy workload at 2^18 rows, I=20."""
+    n, S, I = 1 << 18, 16, 20
+    rng = np.random.default_rng(0)
+    n_base = n >> 7
+    cur = rng.normal(size=(n_base, S)).astype(np.float32)
+    cur /= np.linalg.norm(cur, axis=1, keepdims=True)
+    nodes = [cur]
+    for lev in range(3):
+        cos = 0.93 - 0.04 * lev
+        sin = np.sqrt(1 - cos * cos)
+        kids = []
+        for sgn in (1.0, -1.0):
+            orth = rng.normal(size=cur.shape).astype(np.float32)
+            orth -= (orth * cur).sum(1, keepdims=True) * cur
+            orth /= np.linalg.norm(orth, axis=1, keepdims=True)
+            kids.append(cos * cur + sgn * sin * orth)
+        cur = np.concatenate(kids)
+        nodes.append(cur)
+    pool = np.concatenate(nodes)
+    rows = rng.integers(0, len(pool), size=n)
+    X = pool[rows] + 0.01 * rng.standard_normal((n, S)).astype(np.float32)
+    thr = (0.95 - (0.15 / I) * np.arange(I)).astype(np.float32)
+
+    _, _, g1 = engine.cluster(X, thresholds=thr, seed=0)
+    m = meshlib.make_mesh(8)
+    _, _, g8 = dist.cluster_sharded(X, mesh=m, thresholds=thr, seed=0)
+    inflation = len(g8) / len(g1) - 1
+    assert inflation < 0.10, (
+        f"8-device fragmentation: {len(g8)} vs {len(g1)} clusters "
+        f"(+{inflation:.1%})")
