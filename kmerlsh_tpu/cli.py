@@ -67,9 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pairing-merge rounds per LSH iteration (tpu engine)")
     p.add_argument("--trace-dir", default="",
                    help="write a jax.profiler trace of the run here")
-    p.add_argument("--read-scorer", choices=["auto", "host", "device"],
+    p.add_argument("--read-scorer",
+                   choices=["auto", "host", "native", "device"],
                    default=d.read_scorer,
-                   help="mode-E scorer: on-device kernel or host NumPy")
+                   help="mode-E scorer: on-device kernel, native C++ "
+                        "(multithreaded), or host NumPy")
     p.add_argument("--coordinator", default=d.coordinator,
                    help="multi-host: jax.distributed coordinator host:port "
                         "(run the same command on every host)")

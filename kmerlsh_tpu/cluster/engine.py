@@ -632,6 +632,8 @@ def _drive_session(values_t, sizes, slots, parent, na, it, thr, base_rng,
         t2 = time.perf_counter()
         LAST_SESSION["device_seconds"] += t1 - t0
         LAST_SESSION["pull_seconds"] += t2 - t1
+        LAST_SESSION.setdefault("programs", []).append(
+            (f"chunk[{c}]@{cap}", round(t1 - t0, 3)))
         it += c
         if verbose:
             print(f"[tpu] iter {it}: {na} clusters")
@@ -649,6 +651,8 @@ def _drive_session(values_t, sizes, slots, parent, na, it, thr, base_rng,
     LAST_SESSION["device_seconds"] += t1 - t0
     LAST_SESSION["pull_seconds"] += t2 - t1
     LAST_SESSION["pull_bytes"] = LAST_SESSION.get("pull_bytes", 0) + buf.nbytes
+    LAST_SESSION.setdefault("programs", []).append(
+        (f"finalize@{fc}", round(t1 - t0, 3)))
 
     # unpack: grouping happened on device (filtered rows — their own dead
     # roots, ioMatrix.cc:381 — sorted to the tail and excluded by lens);
@@ -748,6 +752,8 @@ def cluster_counts(
     na = int(na_dev)                          # 1 RT
     LAST_SESSION["device_seconds"] += t1 - t0
     LAST_SESSION["pull_seconds"] += time.perf_counter() - t1
+    LAST_SESSION.setdefault("programs", []).append(
+        (f"head[{head_k}]@{cap0}", round(t1 - t0, 3)))
     if verbose:
         print(f"[tpu] head ({head_k} iters): {na} clusters")
     return _drive_session(values_t, sizes, slots, parent, na, head_k, thr,

@@ -60,7 +60,7 @@ class HyperParams:
     merge_rounds: int = 4         # pairing-merge rounds per LSH iteration
     ignore_small: int = 5         # final save drops clusters of size <= 5
     trace_dir: str = ""           # write a jax.profiler trace here if set
-    read_scorer: str = "auto"     # mode-E scorer: "host" | "device" | "auto"
+    read_scorer: str = "auto"  # "host" | "native" | "device" | "auto"
                                   # (auto = device when an accelerator backs
                                   # jax, host on CPU-only)
     # multi-host launch (parallel/multihost.py): every host runs the same

@@ -152,7 +152,7 @@ def _device_score_kernel(codes, win_start, n_win, lens, diff_hi, diff_lo,
 
     L = codes.shape[0]
     nw = L - (k - 1)
-    c = codes.astype(jnp.uint32)
+    c = codes.astype(jnp.uint32)   # uint8 on the wire (4× less upload)
 
     # packed k-mer (codec layout: base j at bits 2j) in two 32-bit words
     lo = jnp.zeros((nw,), jnp.uint32)
@@ -257,7 +257,7 @@ def score_part_device_async(
     flat = _pack_flat_codes(seqs, k)
 
     L = _pow2(len(flat) + k)     # static capacity: few distinct compiles
-    codes = np.zeros(L, np.int32)
+    codes = np.zeros(L, np.uint8)
     codes[: len(flat)] = flat
 
     starts = np.zeros(READS_CAP, np.int32)

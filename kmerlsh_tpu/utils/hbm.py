@@ -130,5 +130,20 @@ def rows_budget(num_samples: int, n_devices: int = 1, fill: float = 0.6,
             measured = _cached_per_row_bytes(num_samples)
             if measured:
                 per_row, fill = measured, 0.8
+            else:
+                try:
+                    import jax
+
+                    on_tpu = jax.default_backend() == "tpu"
+                except Exception:
+                    on_tpu = False
+                if on_tpu:
+                    # backend reports no memory stats (e.g. tunneled
+                    # devices): apply the v5e-measured correction — the
+                    # static model overestimates bytes/row by ~1.28×
+                    # (observed: 2^25×20 session peaks ~9 GB ⇒ ~268 B/row
+                    # vs the model's 344; 2^26×20 OOMs at ~18 GB)
+                    per_row = int(per_row * 268 / 344)
+                    fill = 0.8
     rows = int(mem * fill * n_devices / per_row)
     return max(1 << 16, 1 << int(math.floor(math.log2(max(rows, 1)))))
