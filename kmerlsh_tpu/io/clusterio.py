@@ -32,7 +32,10 @@ def _render_clust(flat: np.ndarray, sizes: np.ndarray) -> bytes:
     reference's ofstream writer (io/ioMatrix.cc:283-287). NumPy fallback
     (~0.8 M ids/s) when the extension isn't built."""
     sizes = np.ascontiguousarray(sizes, dtype=np.int64)
-    flat = np.ascontiguousarray(flat, dtype=np.uint64)
+    if flat.dtype == np.int64 and flat.flags.c_contiguous:
+        flat = flat.view(np.uint64)   # ids are nonnegative: free reinterpret
+    else:
+        flat = np.ascontiguousarray(flat, dtype=np.uint64)
     if _native is not None and hasattr(_native, "render_clust"):
         offs = np.ascontiguousarray(
             np.concatenate([[0], np.cumsum(sizes)]), dtype=np.int64)

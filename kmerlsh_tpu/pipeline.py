@@ -271,7 +271,7 @@ def _fused_single_batch(
         if "pull_bytes" in engine.LAST_SESSION:
             stages.record("pull_bytes", int(engine.LAST_SESSION["pull_bytes"]))
     if isinstance(groups, Groups):
-        return cents, groups.astype(np.uint64)   # already sorted-within
+        return cents, groups          # already sorted-within (int64 ids)
     return cents, Groups.from_list([np.sort(g) for g in groups],
                                    dtype=np.uint64)
 
