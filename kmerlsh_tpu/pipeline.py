@@ -139,17 +139,20 @@ def init_clustering(
             with stages.stage("cluster_batch"):
                 cents, _, groups = cluster(values, None, 1, similarity, seed)
         else:
-            # single chip: stay on device in the engine's sample-major
-            # layout, filtered rows ride along as 0-weight slots
-            import jax.numpy as jnp
+            # single chip: the transform fuses into the head program
+            # (engine.cluster_counts) exactly like the fused single-batch
+            # path — uploading a separate f32 transform output alongside
+            # the session working set OOMs at the 2^25 batch budget.
+            # iterations=1 ⇒ one deep pass at threshold 0.95 (the
+            # reference's init batch semantics, kmerLSH.cc:323,487)
+            from kmerlsh_tpu.cluster import engine
 
-            with stages.stage("transform"):
-                jvalues_t, keep = transform.abundance_transform_t(cmat, v)
             ids = (offset + np.arange(bs)).astype(np.uint64)
             with stages.stage("cluster_batch"):
-                cents, _, groups = cluster(
-                    jvalues_t, keep.astype(jnp.int32), 1, similarity, seed,
-                    transposed=True)
+                cents, _, groups = engine.cluster_counts(
+                    cmat, v, np.asarray([0.95], np.float32), seed=seed,
+                    rounds=max(params.merge_rounds, 16), deep_init=True,
+                    verbose=params.verbose)
         seed += 1
         if isinstance(groups, Groups):
             # engine/dist groups are sorted-within and ``ids`` is monotone,
