@@ -171,7 +171,13 @@ def init_clustering(
         offset += bs
         first = False
 
-    while total > batch:
+    # merge rounds operate on survivor VALUES (f32 [n, S] uploads + f32
+    # session state — roughly twice the per-row bytes of the uint16 counts
+    # sessions the batch budget was sized for), so their window is half the
+    # batch budget; observed: a full-budget merge round ResourceExhausts
+    # where the same-capacity counts session fits
+    vbatch = max(1 << 16, batch // 2)
+    while total > vbatch:
         similarity -= 0.001  # kmerLSH.cc:356
         read_path = write_path
         tmp_no += 1
@@ -179,7 +185,7 @@ def init_clustering(
         remaining, total, start, first = total, 0, 0, True
         multihost.barrier(f"tmp_round_{tmp_no}")   # writes visible before reads
         while start < remaining:
-            bs = min(batch, remaining - start)
+            bs = min(vbatch, remaining - start)
             values, ids_list = clusterio.read_cluster(read_path, S, start, bs)
             sizes = ids_list.sizes.astype(np.int32)
             with stages.stage("cluster_merge_round"):
