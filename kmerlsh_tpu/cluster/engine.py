@@ -530,6 +530,12 @@ def _finalize_grouped(values_t, sizes, slots, parent, fc: int, jumps: int):
     by the lengths."""
     s = values_t.shape[0]
     cap0 = parent.shape[0]
+    # state is alive-first compacted with n_alive ≤ fc: slice to fc (the
+    # session may end at a larger capacity than the final cluster count
+    # needs — slicing drops only dead tail slots)
+    values_t = values_t[:, :fc]
+    sizes = sizes[:fc]
+    slots = slots[:fc]
     roots = parent
     for _ in range(jumps):
         roots = roots[roots]

@@ -114,3 +114,27 @@ def test_finalize_grouped_matches_host_grouping():
     assert np.array_equal(got.offsets, want_m.offsets)
     assert np.array_equal(csizes.astype(np.int64), want_s)
     np.testing.assert_array_equal(vals.T, want_c)
+
+
+def test_finalize_at_smaller_capacity_than_session():
+    """Regression: a session that ends at a capacity larger than the final
+    cluster count needs (no compaction ran — e.g. a single-threshold batch
+    pass) must finalize correctly; _finalize_grouped slices state to fc."""
+    import numpy as np
+    from kmerlsh_tpu.cluster import engine
+
+    rng = np.random.default_rng(0)
+    n, S, k = 8192, 8, 64
+    prof = rng.normal(size=(k, S)).astype(np.float32)
+    prof /= np.linalg.norm(prof, axis=1, keepdims=True)
+    rows = rng.integers(0, k, size=n)
+    counts = np.clip(
+        np.rint(np.expm1(4.0 + prof[rows])), 1, 65535).astype(np.uint16)
+    cmat = np.ascontiguousarray(counts.T)
+    v = np.zeros(S, np.float32)
+    cents, sizes, members = engine.cluster_counts(
+        cmat, v, np.asarray([0.95], np.float32), seed=0, deep_init=True)
+    # survivors far below cap/2 → fc (4096) < session capacity (8192)
+    assert len(members) < 4096
+    assert members.offsets[-1] == n
+    assert sizes.sum() == n
