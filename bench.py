@@ -167,6 +167,10 @@ def _worker_tpu() -> dict:
     for key in ("device_seconds", "pull_seconds"):
         if key in wst.times:
             out[key] = round(wst.times[key], 2)
+    if "device_seconds" in out and "pull_seconds" in out:
+        out["other_host_seconds"] = round(
+            warm_s - out["device_seconds"] - out["pull_seconds"]
+            - out["save_seconds"], 2)
     if "pull_bytes" in wst.metrics:
         out["pull_mb"] = round(wst.metrics["pull_bytes"] / 1e6, 1)
     try:
