@@ -383,6 +383,13 @@ def _worker_mode_e() -> dict:
         dt = time.perf_counter() - t0
         out[f"{scorer}_seconds"] = round(dt, 2)
         out[f"{scorer}_reads_per_s"] = round(total_reads / dt, 1)
+    # what would `auto` have picked on this host? (VERDICT r4 #4)
+    import dataclasses
+
+    from kmerlsh_tpu import pipeline
+
+    pipeline._pick_scorer(dataclasses.replace(p, read_scorer="auto"))
+    out["auto_scorer"] = pipeline.LAST_SCORER
     out["total_reads"] = total_reads
     out["workdir"] = sub
     return out
@@ -592,6 +599,43 @@ def reference_mode_b(workdir: str, records: int, box_s: float) -> dict | None:
 # orchestrator
 # --------------------------------------------------------------------------
 
+def _compact(results: dict) -> dict:
+    """Distill the cumulative record into a ≤1 kB headline summary (the
+    driver's tail capture is 2 kB; the LAST printed line must parse)."""
+    c: dict = {"metric": results.get("metric"),
+               "value": results.get("value"),
+               "unit": results.get("unit"),
+               "vs_baseline": results.get("vs_baseline")}
+    for k in ("vs_baseline_cold", "reference_seconds",
+              "reference_12core_model_seconds", "vs_12core_model",
+              "vs_12core_model_device", "device_rows_per_s"):
+        if k in results:
+            c[k] = results[k]
+    tpu = results.get("tpu") or {}
+    for k in ("warm_seconds", "cold_seconds", "device_seconds",
+              "pull_seconds", "save_seconds", "clusters", "pull_mb"):
+        if k in tpu:
+            c[k] = tpu[k]
+    kb = results.get("mode_kb") or {}
+    if "b_vs_reference" in kb:
+        c["mode_b_vs_ref"] = kb["b_vs_reference"]
+    me = results.get("mode_e") or {}
+    for src, dst in (("e_vs_reference", "mode_e_vs_ref"),
+                     ("native_reads_per_s", "mode_e_native_reads_per_s"),
+                     ("auto_scorer", "mode_e_auto_scorer")):
+        if src in me:
+            c[dst] = me[src]
+    dp = results.get("design_points") or {}
+    for name, d in dp.items():
+        c[f"dp_{name}_warm_s"] = d.get("warm_seconds",
+                                       d.get("cold_seconds"))
+    blob = json.dumps(c)
+    while len(blob) > 1000 and len(c) > 4:     # hard cap, drop extras
+        c.popitem()
+        blob = json.dumps(c)
+    return c
+
+
 def main() -> None:
     os.makedirs(WORK, exist_ok=True)
     results: dict = {
@@ -602,7 +646,12 @@ def main() -> None:
     }
 
     def emit():
+        # full cumulative record first, then a compact (≤1 kB) summary as
+        # the LAST line: the round driver keeps only ~2 kB of stdout tail
+        # and parses the final line — round 4's cumulative line outgrew
+        # that capture and the round artifact lost its headline fields
         print(json.dumps(results), flush=True)
+        print(json.dumps(_compact(results)), flush=True)
 
     note(f"budget {TOTAL_BUDGET_S:.0f}s; generating data ({N_ROWS} rows)")
     sub = make_data(N_ROWS)

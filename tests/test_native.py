@@ -103,3 +103,32 @@ def test_native_render_clust_matches_fallback():
     # empty input renders empty
     assert clusterio._render_clust(
         np.empty(0, np.uint64), np.empty(0, np.int64)) == b""
+
+
+def test_score_part_native_matches_host():
+    """The native C++ read scorer (the default via `auto` wherever the
+    extension is built) must reproduce the host scorer bit-for-bit on
+    random reads across k values and votes — mirrors
+    test_score_part_device_matches_host (ADVICE r4)."""
+    from kmerlsh_tpu.ops import reads as readops
+
+    rng = np.random.default_rng(7)
+    for k in (7, 11, 16, 23, 31):
+        marker = "".join(rng.choice(list("ACGT"), size=80))
+        codes, _ = codec.seq_to_codes(marker.encode())
+        diff = np.unique(
+            codec.canonical_key(codec.sliding_kmers(codes, k), k))
+        seqs = []
+        for _ in range(300):
+            ln = int(rng.integers(0, 90))
+            if rng.random() < 0.4:
+                start = int(rng.integers(0, 40))
+                s = marker[start:start + ln]
+            else:
+                s = "".join(rng.choice(list("ACGTN"), size=ln))
+            seqs.append(s.encode())
+        seqs.append(b"")
+        for vote in (0.3, 0.5, 1.0):
+            host = readops.score_part(seqs, diff, k, vote)
+            nat = readops.score_part_native(seqs, diff, k, vote)
+            assert np.array_equal(host, nat), (k, vote)

@@ -216,3 +216,70 @@ def test_score_part_n_bases_encode_as_A():
     diff = np.unique(polyA)
     sel = readops.score_part([b"N" * 30], diff, k, 0.5)
     assert list(sel) == [True]
+
+
+# --- auto scorer selection (VERDICT r4 #4) ----------------------------------
+
+def test_auto_scorer_never_picks_slow_device(monkeypatch):
+    """`auto` must prefer the native scorer whenever the extension is built,
+    regardless of backend: on tunneled-TPU hosts the device scorer measured
+    ~100x slower than native (BENCH_r04), so a platform-based guess is the
+    wrong policy. A monkeypatched 'slow' device scorer asserts auto never
+    routes to it while native exists."""
+    pytest.importorskip("_kmerlsh_native")
+    import jax
+
+    from kmerlsh_tpu import pipeline
+
+    def boom(*a, **kw):  # the device scorer: must not be selected
+        raise AssertionError("auto picked the device scorer")
+
+    monkeypatch.setattr(readops, "score_part_device_async", boom)
+    for backend in ("tpu", "cpu"):
+        monkeypatch.setattr(jax, "default_backend", lambda b=backend: b)
+        p = HyperParams(read_scorer="auto")
+        fn = pipeline._pick_scorer(p)
+        assert pipeline.LAST_SCORER == "native"
+        # and it actually scores (not the boom stub)
+        assert list(fn([b""], np.empty(0, np.uint64), 7, 0.5)()) == [False]
+
+
+def test_auto_scorer_fallback_order(monkeypatch):
+    """Without the native extension: device on accelerators, host on CPU."""
+    import builtins
+    import jax
+
+    from kmerlsh_tpu import pipeline
+
+    real_import = builtins.__import__
+
+    def no_native(name, *a, **kw):
+        if name == "_kmerlsh_native":
+            raise ImportError("unbuilt")
+        return real_import(name, *a, **kw)
+
+    monkeypatch.setattr(builtins, "__import__", no_native)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    pipeline._pick_scorer(HyperParams(read_scorer="auto"))
+    assert pipeline.LAST_SCORER == "device"
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    pipeline._pick_scorer(HyperParams(read_scorer="auto"))
+    assert pipeline.LAST_SCORER == "host"
+
+
+def test_extract_producer_error_propagates(tmp_path, monkeypatch):
+    """A parse failure mid-stream must abort extraction (ADVICE r4): the
+    producer thread records the exception and the consumer re-raises it
+    after draining, instead of finishing 'successfully' truncated."""
+    from kmerlsh_tpu import pipeline
+
+    def bad_parts(paths, part_size=1 << 16):
+        yield []          # one empty part, then a parse failure
+        raise ValueError("corrupt FASTQ header")
+
+    monkeypatch.setattr(pipeline.fastqio, "read_parts", bad_parts)
+    p = HyperParams(read_scorer="host")
+    with pytest.raises(ValueError, match="corrupt FASTQ"):
+        pipeline._extract_group([str(tmp_path / "x.fastq")],
+                                np.empty(0, np.uint64),
+                                str(tmp_path / "out"), p)
