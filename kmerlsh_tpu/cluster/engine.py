@@ -70,6 +70,39 @@ SMALL_CAP = 1 << 16
 SMALL_CHUNK = 32    # at small capacities, fuse more: dispatch latency
                     # dominates over the (tiny) per-iteration compute
 
+# How the per-iteration permutation is applied to the [S, M] value matrix
+# (the single hottest choice in the engine — see tools/iter_profile.py):
+#   "payload_sort" — ONE variadic lax.sort carries the S value rows as
+#     payloads (round 2-4 design);
+#   "gather_lane"  — sort only (key, i32 payloads, iota), then one
+#     values_t[:, order] gather along the lane axis;
+#   "gather_rows"  — same, but gather rows of the [M, S] transpose
+#     (sublane-axis gather) with transposes either side.
+# All three apply the IDENTICAL stable permutation — results are
+# bit-for-bit equal; only the data movement differs.
+PERMUTE = "payload_sort"
+
+
+def _sort_state(key, sizes, cur_slot, merged_into, values_t):
+    """Stable-sort the iteration state by ``key`` using the strategy in
+    ``PERMUTE``. Returns (skey, ssizes, scs, smi, svt[S, M])."""
+    s, m = values_t.shape
+    if PERMUTE == "payload_sort":
+        ops = jax.lax.sort(
+            (key, sizes, cur_slot, merged_into)
+            + tuple(values_t[i] for i in range(s)),
+            num_keys=1, is_stable=True)
+        return ops[0], ops[1], ops[2], ops[3], jnp.stack(ops[4:])
+    iota = jnp.arange(m, dtype=jnp.int32)
+    skey, ssize, scs, smi, order = jax.lax.sort(
+        (key, sizes, cur_slot, merged_into, iota),
+        num_keys=1, is_stable=True)
+    if PERMUTE == "gather_lane":
+        svt = values_t[:, order]
+    else:  # gather_rows
+        svt = values_t.T[order, :].T
+    return skey, ssize, scs, smi, svt
+
 
 def _combined_sort_key(keys, proj, sizes, h):
     """Fuse (bucket key, quantized secondary projection) into ONE int32 sort
@@ -298,12 +331,8 @@ def chain_collapse(
         cur_slot = jnp.arange(m, dtype=jnp.int32)
 
     combined = _combined_sort_key(keys, proj, sizes, h)
-    sorted_ops = jax.lax.sort(
-        (combined, sizes, cur_slot, merged_into)
-        + tuple(values_t[i] for i in range(s)),
-        num_keys=1, is_stable=True)
-    scomb, ssize, scs, smi = sorted_ops[:4]
-    svt = jnp.stack(sorted_ops[4:])         # [S, M], sorted
+    scomb, ssize, scs, smi, svt = _sort_state(
+        combined, sizes, cur_slot, merged_into, values_t)
 
     # recover the bucket id from the combined key (dead slots map above any
     # real bucket — see _combined_sort_key)
@@ -383,14 +412,23 @@ def _compact_order(sizes):
 
 
 def compact_sort(values_t, sizes, slots):
-    """Alive-first stable compaction as ONE payload sort (the [S, M] column
-    gather a permutation would need costs ~2× the whole sort on TPU)."""
-    s = values_t.shape[0]
-    ops = jax.lax.sort(
-        ((sizes == 0).astype(jnp.int32), sizes, slots)
-        + tuple(values_t[i] for i in range(s)),
-        num_keys=1, is_stable=True)
-    return jnp.stack(ops[3:]), ops[1], ops[2]
+    """Alive-first stable compaction, using the session's ``PERMUTE``
+    strategy for the [S, M] value movement (see :data:`PERMUTE`)."""
+    s, m = values_t.shape
+    dead = (sizes == 0).astype(jnp.int32)
+    if PERMUTE == "payload_sort":
+        ops = jax.lax.sort(
+            (dead, sizes, slots) + tuple(values_t[i] for i in range(s)),
+            num_keys=1, is_stable=True)
+        return jnp.stack(ops[3:]), ops[1], ops[2]
+    iota = jnp.arange(m, dtype=jnp.int32)
+    _, ssize, sslots, order = jax.lax.sort(
+        (dead, sizes, slots, iota), num_keys=1, is_stable=True)
+    if PERMUTE == "gather_lane":
+        svt = values_t[:, order]
+    else:
+        svt = values_t.T[order, :].T
+    return svt, ssize, sslots
 
 
 def _iterate_update(values_t, sizes, slots, parent, base_rng, thresholds,

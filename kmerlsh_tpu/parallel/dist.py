@@ -51,6 +51,13 @@ from kmerlsh_tpu.parallel.mesh import ROWS, make_mesh
 
 EXCHANGE_CAP = 4096   # survivor summaries exchanged per device per iteration
 
+# wall-clock split of the most recent sharded session (same contract as
+# engine.LAST_SESSION): device program walls, device→host pulls, and the
+# single-device anneal-tail's own split folded in (ADVICE r4: the tail used
+# to overwrite the engine dict, so multi-device bench splits described only
+# the tail). Reset by _drive; read by pipeline/bench.
+LAST_SESSION: dict = {}
+
 HEAD_ITERS = 3        # iterations fused into the head program
 MID_CHUNK = 4         # iterations per chunk program thereafter
 SMALL_LOCAL_CAP = 1 << 13  # below this per-device capacity, fuse everything
@@ -128,11 +135,17 @@ def _one_dist_iteration(values_t, sizes, slots, parent, n_alive, rng,
     r_sizes = m_sizes[sel]
     r_mi = m_mi[sel]
 
-    # fold global merge events for MY gids into my parent shard
+    # fold global merge events for MY gids into my parent shard. Invalid
+    # entries (other devices' slots, window padding) are routed to the
+    # out-of-range index c0_loc and DROPPED — masking them to index 0
+    # instead would alias many identity writes onto local slot 0, and
+    # XLA's duplicate-index scatter order is unspecified, so a real death
+    # record for gid == base could be clobbered (observed: stranded rows
+    # rooted at dead shard-base slots whenever the chunk loop ran long)
     gi = g_slots - base
     ok = (r_mi >= 0) & (gi >= 0) & (gi < c0_loc)
-    gsafe = jnp.where(ok, gi, 0)
-    parent = parent.at[gsafe].set(jnp.where(ok, r_mi, parent[gsafe]))
+    parent = parent.at[jnp.where(ok, gi, c0_loc)].set(
+        jnp.where(ok, r_mi, 0), mode="drop")
 
     # write my post-merge window back over my window positions
     mv = jax.lax.dynamic_slice_in_dim(r_vals, my * e, e, axis=1)
@@ -285,19 +298,35 @@ def _drive(head_fn, head_args, mesh, thresholds, seed, e, verbose,
     threshold-sensitive tail then has EXACT single-chip merge semantics
     (every survivor pair shares one memory space every iteration), which
     the fixed-capacity exchange cannot guarantee at scale."""
+    import time
+
     _, _, chunk, slice_to = progs
     thr = np.asarray(thresholds, np.float32)
     total = len(thr)
     rng = jax.random.PRNGKey(seed)
     n_dev = mesh.size
+    LAST_SESSION.clear()
+    LAST_SESSION.update(device_seconds=0.0, pull_seconds=0.0, programs=[])
+
+    def timed(tag, fn, *args):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        LAST_SESSION["device_seconds"] += dt
+        LAST_SESSION["programs"].append((tag, round(dt, 3)))
+        return out
 
     head_k = min(total, HEAD_ITERS)
     head_thr = np.full(HEAD_ITERS, 9.0, np.float32)
     head_thr[:head_k] = thr[:head_k]
-    values_t, sizes, slots, parent, na_dev, ma_dev = head_fn(
-        *head_args, rng, jnp.asarray(head_thr))
+    values_t, sizes, slots, parent, na_dev, ma_dev = timed(
+        f"dist_head[{head_k}]", head_fn, *head_args, rng,
+        jnp.asarray(head_thr))
     it = head_k
+    t0 = time.perf_counter()
     na, max_alive = int(na_dev), int(ma_dev)      # 1 pull
+    LAST_SESSION["pull_seconds"] += time.perf_counter() - t0
     c_loc = sizes.shape[0] // n_dev
     if verbose:
         print(f"[dist] head ({head_k} iters): {na} clusters")
@@ -316,10 +345,12 @@ def _drive(head_fn, head_args, mesh, thresholds, seed, e, verbose,
                      1 << max(0, math.ceil(math.log2(max(c, 1)))))
         tpad = np.full(c_prog, 9.0, np.float32)
         tpad[:c] = thr[it:it + c]
-        values_t, sizes, slots, parent, na_dev, ma_dev = chunk(
-            values_t, sizes, slots, parent, rng, jnp.asarray(tpad),
-            jnp.int32(it))
+        values_t, sizes, slots, parent, na_dev, ma_dev = timed(
+            f"dist_chunk[{c}]@{c_loc}", chunk, values_t, sizes, slots,
+            parent, rng, jnp.asarray(tpad), jnp.int32(it))
+        t0 = time.perf_counter()
         na, max_alive = int(na_dev), int(ma_dev)
+        LAST_SESSION["pull_seconds"] += time.perf_counter() - t0
         it += c
         if verbose:
             print(f"[dist] iter {it}: {na} clusters")
@@ -328,8 +359,13 @@ def _drive(head_fn, head_args, mesh, thresholds, seed, e, verbose,
     values_t, sizes, slots = slice_to((values_t, sizes, slots), fin_c)
     from kmerlsh_tpu.parallel.multihost import gather_np
 
-    return ((gather_np(values_t), gather_np(sizes), gather_np(slots),
-             gather_np(parent), na), thr[it:])
+    t0 = time.perf_counter()
+    pulled = (gather_np(values_t), gather_np(sizes), gather_np(slots),
+              gather_np(parent), na)
+    LAST_SESSION["pull_seconds"] += time.perf_counter() - t0
+    LAST_SESSION["pull_bytes"] = sum(
+        a.nbytes for a in pulled[:4] if hasattr(a, "nbytes"))
+    return (pulled, thr[it:])
 
 
 TERMINAL_ITERS = 5   # = the reference's per-merge-round iteration count
@@ -380,6 +416,16 @@ def _assemble(values_t, sizes, slots, parent, n_rows: int,
         cents, tsizes, members = engine.cluster(
             al_vals, sizes=al_sizes.astype(np.int32), thresholds=thr,
             seed=seed, transposed=True, verbose=verbose)
+        # fold the tail session's split into the sharded session's own
+        # counters (engine.cluster cleared engine.LAST_SESSION; without
+        # this the reported split covered only the tail — ADVICE r4)
+        for k in ("device_seconds", "pull_seconds", "pull_bytes"):
+            if k in engine.LAST_SESSION:
+                LAST_SESSION[k] = (LAST_SESSION.get(k, 0)
+                                   + engine.LAST_SESSION[k])
+        LAST_SESSION.setdefault("programs", []).extend(
+            ("tail_" + t, d)
+            for t, d in engine.LAST_SESSION.get("programs", []))
         if verbose:
             print(f"[dist] single-device tail ({len(thr)} iters): "
                   f"{len(alive)} -> {len(members)} clusters")

@@ -267,6 +267,14 @@ def _fused_single_batch(
         cents, _, groups = dist.cluster_counts_sharded(
             jcounts, v, schedule, mesh=mesh, seed=params.seed,
             verbose=params.verbose, n=n)
+        # sharded split covers the whole run incl. the single-device
+        # anneal tail (dist.LAST_SESSION folds the tail in — ADVICE r4)
+        for key in ("device_seconds", "pull_seconds"):
+            if key in dist.LAST_SESSION:
+                stages.times[key] = dist.LAST_SESSION[key]
+        if "pull_bytes" in dist.LAST_SESSION:
+            stages.record("pull_bytes",
+                          int(dist.LAST_SESSION["pull_bytes"]))
     else:
         cents, _, groups = engine.cluster_counts(
             jcounts, v, schedule, seed=params.seed,

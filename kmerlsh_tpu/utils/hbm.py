@@ -30,11 +30,45 @@ import os
 #   arrays (keys, proj, slots, parent, scan flags/sums, sort temps)
 _PER_ROW_LANES = 64
 
+# v5e design-point observations (round 4, BASELINE.md "Design points"):
+# one mode-C session at S=20 on a 15.75 GB-usable v5e behind a stat-less
+# backend (no peak_bytes_in_use available):
+#   * 2^25 rows ran with NO OOM; session footprint modeled ~9 GB from the
+#     residual headroom → ~268 B/row at S=20;
+#   * 2^26 rows OOM'd in the single-fused path (~18 GB requested).
+# The hand model (14S + 64 = 344 B/row at S=20) overestimates because XLA
+# frees the uint16 counts + one f32 copy before the sort temps peak; the
+# overestimate sits in the S-proportional term, so the observed correction
+# is applied to THAT term only (ADVICE r4: a flat ratio measured at S=20
+# cannot be assumed for other sample counts).
+V5E_OBSERVATION = {
+    "num_samples": 20,
+    "rows_fit": 1 << 25,
+    "session_peak_bytes": 9_000_000_000,
+    "rows_oom": 1 << 26,
+}
+# B/row at the observed S (=268 for the round-4 observation)
+_OBSERVED_PER_ROW = round(V5E_OBSERVATION["session_peak_bytes"]
+                          / V5E_OBSERVATION["rows_fit"])
+# per-sample bytes implied by the observation once the lane term is removed
+_OBSERVED_S_BYTES = ((_OBSERVED_PER_ROW - _PER_ROW_LANES)
+                     / V5E_OBSERVATION["num_samples"])     # ≈ 10.2
+
 _CAL_PATH = os.path.expanduser("~/.cache/kmerlsh_tpu/hbm_calibration.json")
 
 
 def _per_row_bytes(num_samples: int) -> int:
     return 14 * num_samples + _PER_ROW_LANES
+
+
+def _tpu_static_per_row(num_samples: int) -> int:
+    """Static per-row estimate for stat-less TPU backends, anchored on the
+    recorded v5e observation: the S-proportional term uses the observed
+    ~10.2 B/sample (never below the irreducible 2S uint16 counts + 8S for
+    two live f32 copies), the lane term stays at the hand model's 64 B."""
+    s_term = max(10 * num_samples,
+                 math.ceil(_OBSERVED_S_BYTES * num_samples))
+    return s_term + _PER_ROW_LANES
 
 
 def device_memory_bytes(default: int = 16 << 30) -> int:
@@ -139,11 +173,14 @@ def rows_budget(num_samples: int, n_devices: int = 1, fill: float = 0.6,
                     on_tpu = False
                 if on_tpu:
                     # backend reports no memory stats (e.g. tunneled
-                    # devices): apply the v5e-measured correction — the
-                    # static model overestimates bytes/row by ~1.28×
-                    # (observed: 2^25×20 session peaks ~9 GB ⇒ ~268 B/row
-                    # vs the model's 344; 2^26×20 OOMs at ~18 GB)
-                    per_row = int(per_row * 268 / 344)
-                    fill = 0.8
+                    # devices): use the observation-anchored static model
+                    # (V5E_OBSERVATION). The raised fill is only justified
+                    # near the calibrated sample count — at distant S the
+                    # bytes/row composition is unverified, so the
+                    # conservative default fill stands (ADVICE r4)
+                    per_row = _tpu_static_per_row(num_samples)
+                    s0 = V5E_OBSERVATION["num_samples"]
+                    if s0 / 2 <= num_samples <= s0 * 2:
+                        fill = 0.8
     rows = int(mem * fill * n_devices / per_row)
     return max(1 << 16, 1 << int(math.floor(math.log2(max(rows, 1)))))

@@ -324,3 +324,39 @@ def test_hbm_budget_uses_measurement_at_the_boundary(monkeypatch):
     b = hbm.rows_budget(20, 1, mem=v5e, kmap_size=1 << 26)
     assert calls == [20]
     assert b == 1 << 25  # fits 2^25, refuses 2^26
+
+
+def test_hbm_static_tpu_model_pins_v5e_design_points(monkeypatch):
+    """VERDICT r4 #6: the stat-less-TPU static model must be derived from
+    the recorded v5e observation (no naked correction ratio) and must pin
+    the round-4 design points: at S=20 on a 15.75 GB v5e it admits 2^25
+    rows single-batch and refuses 2^26. Away from the calibrated sample
+    count the raised fill must NOT apply (ADVICE r4)."""
+    from kmerlsh_tpu.utils import hbm
+
+    v5e = 15_753_625_600
+    # the derived per-row constant matches the recorded observation
+    obs = hbm.V5E_OBSERVATION
+    per20 = hbm._tpu_static_per_row(obs["num_samples"])
+    assert per20 == round(obs["session_peak_bytes"] / obs["rows_fit"]) \
+        or abs(per20 - obs["session_peak_bytes"] / obs["rows_fit"]) < 8
+    # design points under a stat-less TPU backend
+    monkeypatch.setattr(hbm, "_cached_per_row_bytes", lambda s: None)
+
+    class FakeJax:
+        @staticmethod
+        def default_backend():
+            return "tpu"
+
+    import sys
+
+    monkeypatch.setitem(sys.modules, "jax", FakeJax)
+    b = hbm.rows_budget(20, 1, mem=v5e, kmap_size=1 << 26)
+    assert b == 1 << 25, b
+    # far from the calibrated S: fill stays conservative (0.6), so the
+    # admitted budget is strictly below what fill=0.8 would give
+    b100 = hbm.rows_budget(100, 1, mem=v5e, kmap_size=1 << 26)
+    rows_08 = int(v5e * 0.8 / hbm._tpu_static_per_row(100))
+    assert b100 <= 1 << int(np.floor(np.log2(int(v5e * 0.6 /
+        hbm._tpu_static_per_row(100)))))
+    assert b100 < rows_08

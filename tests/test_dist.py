@@ -205,3 +205,62 @@ def test_cross_shard_fragmentation_bound_at_scale():
     assert inflation < 0.10, (
         f"8-device fragmentation: {len(g8)} vs {len(g1)} clusters "
         f"(+{inflation:.1%})")
+
+
+def test_terminal_rounds_fallback_bounds_inflation(monkeypatch):
+    """VERDICT r4 #5: when survivors never fit HANDOFF_CAP, _drive runs the
+    full anneal sharded and _tail_schedule returns TERMINAL_ITERS repeats
+    of the final threshold (the analog of the reference's tmp-file merge
+    rounds, app/kmerLSH.cc:354-411). Monkeypatching HANDOFF_CAP to 1
+    forces that path on an anneal-sensitive workload; the fallback must
+    (a) produce a valid exact partition of the rows and (b) bound cluster
+    inflation vs the single-device result to ~15%."""
+    n, S, I = 1 << 16, 16, 20
+    rng = np.random.default_rng(1)
+    n_base = n >> 7
+    cur = rng.normal(size=(n_base, S)).astype(np.float32)
+    cur /= np.linalg.norm(cur, axis=1, keepdims=True)
+    nodes = [cur]
+    for lev in range(3):
+        cos = 0.93 - 0.04 * lev
+        sin = np.sqrt(1 - cos * cos)
+        kids = []
+        for sgn in (1.0, -1.0):
+            orth = rng.normal(size=cur.shape).astype(np.float32)
+            orth -= (orth * cur).sum(1, keepdims=True) * cur
+            orth /= np.linalg.norm(orth, axis=1, keepdims=True)
+            kids.append(cos * cur + sgn * sin * orth)
+        cur = np.concatenate(kids)
+        nodes.append(cur)
+    pool = np.concatenate(nodes)
+    rows = rng.integers(0, len(pool), size=n)
+    X = pool[rows] + 0.01 * rng.standard_normal((n, S)).astype(np.float32)
+    thr = (0.95 - (0.15 / I) * np.arange(I)).astype(np.float32)
+
+    _, _, g1 = engine.cluster(X, thresholds=thr, seed=0)
+
+    # force "survivors never fit one device": every handoff is refused and
+    # the tail schedule must fall back to the terminal rounds
+    monkeypatch.setattr(dist, "HANDOFF_CAP", 1)
+    rest_seen = {}
+    orig_tail = dist._tail_schedule
+
+    def spy_tail(rest, thresholds, mesh):
+        rest_seen["rest"] = rest
+        return orig_tail(rest, thresholds, mesh)
+
+    monkeypatch.setattr(dist, "_tail_schedule", spy_tail)
+    m = meshlib.make_mesh(8)
+    _, sizes8, g8 = dist.cluster_sharded(X, mesh=m, thresholds=thr, seed=0)
+
+    # the handoff never happened: the full anneal ran sharded
+    assert len(rest_seen["rest"]) == 0
+
+    # exact id partition: every row in exactly one cluster
+    part = partition_of(g8, n)
+    assert int(sum(sizes8)) == n
+
+    inflation = len(g8) / len(g1) - 1
+    assert inflation < 0.15, (
+        f"terminal-rounds fallback: {len(g8)} vs {len(g1)} clusters "
+        f"(+{inflation:.1%})")
