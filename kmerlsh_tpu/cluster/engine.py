@@ -432,19 +432,33 @@ def compact_sort(values_t, sizes, slots):
 
 
 def _iterate_update(values_t, sizes, slots, parent, base_rng, thresholds,
-                    iter_offset, rounds, merge, deep_init):
+                    iter_offset, rounds, merge, deep_init, compact=True):
     """Traced core shared by the head/chunk session programs: run
     ``len(thresholds)`` iterations (threshold > 1 ⇒ padding no-op), fold the
-    merges into the on-device parent forest, compact alive-first.
+    merges into the on-device parent forest.
 
     State contract: ``slots[p]`` is the stable original-slot id at position
     ``p``; ``parent`` (original capacity, never shrinks) maps slot → absorber
     slot, identity while alive. Merge decisions are capacity-invariant (see
     ``_combined_sort_key``), so compacting between programs never changes
-    results — only the work per iteration."""
+    results — only the work per iteration.
+
+    Returns ``(values_t, sizes, slots, parent, n_alive, bound)`` where
+    ``bound`` is a capacity bound covering every ALIVE position: with
+    ``compact=True`` the state is compacted alive-first (one extra payload
+    sort — the head program pays it once so the first capacity slice can
+    shrink to the post-deep-init survivor count) and ``bound = n_alive``;
+    with ``compact=False`` (chunk programs) the extra sort is skipped —
+    every iteration's own sort already moves dead slots to the tail, so
+    all alive positions sit below the alive count at the LAST executed
+    sort, which is what ``bound`` reports (later deaths only punch holes
+    below it). Hole-slicing to ``bound`` is bit-identical to compacted
+    slicing for every downstream computation (dead slots are masked by
+    ``sizes == 0`` everywhere)."""
     mi = jnp.full((values_t.shape[1],), -1, jnp.int32)
     cs = slots
     off = 0
+    bound = jnp.sum((sizes > 0).astype(jnp.int32))
     if deep_init:
         # the deep pass: single-pass full chain collapse on raw rows (the
         # TPU analog of the reference's first greedy sweep, kmerLSH.cc:487)
@@ -463,25 +477,28 @@ def _iterate_update(values_t, sizes, slots, parent, base_rng, thresholds,
             thr, it = x
 
             def run(c):
-                values_t, sizes, mi, cs = c
+                values_t, sizes, mi, cs, _ = c
+                na_in = jnp.sum((sizes > 0).astype(jnp.int32))
                 rng = jax.random.fold_in(base_rng, it)
                 return _one_iteration(values_t, sizes, rng, thr, rounds, mi,
-                                      cs, merge)
+                                      cs, merge) + (na_in,)
 
             # padding thresholds (> 1) are TRUE no-ops (see _lsh_cluster_chunk)
             return jax.lax.cond(thr <= 1.0, run, lambda c: c, carry), ()
 
         its = iter_offset + off + jnp.arange(rest.shape[0], dtype=jnp.int32)
-        (values_t, sizes, mi, cs), _ = jax.lax.scan(
-            body, (values_t, sizes, mi, cs), (rest, its))
+        (values_t, sizes, mi, cs, bound), _ = jax.lax.scan(
+            body, (values_t, sizes, mi, cs, bound), (rest, its))
 
     # each slot dies at most once per program, so one scatter folds all of
     # this program's merges into the global forest; slots that did not merge
     # keep their existing parent (they may have died in an earlier program)
     parent = parent.at[cs].set(jnp.where(mi >= 0, mi, parent[cs]))
     n_alive = jnp.sum((sizes > 0).astype(jnp.int32))
-    values_t, sizes, cs = compact_sort(values_t, sizes, cs)
-    return values_t, sizes, cs, parent, n_alive
+    if compact:
+        values_t, sizes, cs = compact_sort(values_t, sizes, cs)
+        bound = n_alive
+    return values_t, sizes, cs, parent, n_alive, bound
 
 
 @partial(jax.jit, static_argnames=("rounds", "merge", "deep_init"))
@@ -506,10 +523,11 @@ def _head_program(counts, v_kmers, base_rng, thresholds,
 def _chunk_program(values_t, sizes, slots, parent, base_rng, thresholds,
                    iter_offset, rounds: int, merge: str):
     """Session middle: a chunk of iterations at the (possibly shrunken)
-    current capacity; the parent forest stays at original capacity."""
+    current capacity; the parent forest stays at original capacity. No
+    compaction sort — the host slices on the returned position bound."""
     return _iterate_update(values_t, sizes, slots, parent, base_rng,
                            thresholds, iter_offset, rounds, merge,
-                           deep_init=False)
+                           deep_init=False, compact=False)
 
 
 @partial(jax.jit, static_argnames=("new_cap",))
@@ -550,8 +568,9 @@ def _fwd_fill(starts, vals):
     return fill
 
 
-@partial(jax.jit, static_argnames=("fc", "jumps"))
-def _finalize_grouped(values_t, sizes, slots, parent, fc: int, jumps: int):
+@partial(jax.jit, static_argnames=("fc", "jumps", "half"))
+def _finalize_grouped(values_t, sizes, slots, parent, fc: int, jumps: int,
+                      half: bool = False):
     """Root resolution + FULL membership grouping on device, packed into
     ONE i32 buffer: ``[flat_members(cap0) | seg_lens(fc) | seg_sizes(fc) |
     centroid bits(S·fc)]``.
@@ -610,7 +629,19 @@ def _finalize_grouped(values_t, sizes, slots, parent, fc: int, jumps: int):
     p = pos_of_slot[jnp.clip(seg_root, 0, cap0 - 1)]
     cents = values_t[:, p]                   # [S, fc] in final cluster order
     csizes = sizes[p]
-    vbits = jax.lax.bitcast_convert_type(cents, jnp.int32).reshape(-1)
+    if half:
+        # pack f16 centroid pairs into i32 — halves the dominant term of
+        # the pull (the out-of-core batch passes move ~1.6 GB of survivor
+        # centroids per 2^25 batch through the tunnel at f32; f16's ~1e-3
+        # relative error is invisible to 0.8-0.95 cosine thresholds)
+        c16 = jax.lax.bitcast_convert_type(
+            cents.astype(jnp.float16), jnp.uint16)
+        pr = c16.reshape(s, fc // 2, 2).astype(jnp.uint32)
+        packed = pr[..., 0] | (pr[..., 1] << 16)
+        vbits = jax.lax.bitcast_convert_type(
+            packed, jnp.int32).reshape(-1)
+    else:
+        vbits = jax.lax.bitcast_convert_type(cents, jnp.int32).reshape(-1)
     return jnp.concatenate([flat, lens, csizes, vbits])
 
 
@@ -629,7 +660,13 @@ def upload_counts(counts: np.ndarray) -> tuple[jax.Array, int]:
     return jnp.asarray(padded), n
 
 
-HEAD_ITERS = 3   # iterations fused into the head program (full capacity)
+# Iterations fused into the head program (full capacity). ONE: the deep
+# init pass collapses duplicate-profile rows ~8x on real workloads, so
+# every iteration after the first can run at a fraction of the capacity —
+# fusing more into the head ran them at FULL capacity (~0.65 s/iter at
+# 2^24 vs ~0.1-0.2 s compacted; measured round 5, tools/iter_profile.py).
+# Costs one extra dispatch round-trip vs HEAD_ITERS=3 — sub-ms on PCIe.
+HEAD_ITERS = 1
 MID_CHUNK = 3    # iterations per mid-session chunk while capacity is large
 
 
@@ -646,14 +683,30 @@ def _head_values_program(values_t, sizes, base_rng, thresholds,
 
 
 def _drive_session(values_t, sizes, slots, parent, na, it, thr, base_rng,
-                   rounds, merge, verbose, cap0, s, n):
+                   rounds, merge, verbose, cap0, s, n,
+                   half_pull: bool = False, defer_pull: bool = False,
+                   bound: int | None = None):
     """Shared host loop after the head program: chunked iterations with
     capacity compaction, then root resolution + ONE packed pull + host
-    membership grouping. Returns (centroids [K, S], sizes [K], members)."""
+    membership grouping. Returns (centroids [K, S], sizes [K], members).
+
+    ``half_pull`` packs the pulled centroids as f16 pairs (halves the
+    dominant pull term; out-of-core batch passes use it — tmp artifacts
+    are internal). ``defer_pull`` returns ``(finish, stats)`` instead: the
+    finalize program is dispatched but the device→host pull happens only
+    when ``finish()`` is called — the out-of-core driver calls it from a
+    worker thread so batch i's pull overlaps batch i+1's device pass;
+    ``stats`` carries this session's device/pull split (``finish`` adds
+    its own pull time to it)."""
     total = len(thr)
     cap = values_t.shape[1]
+    if bound is None:
+        bound = na
     while it < total:
-        new_cap = min(cap, _pad_capacity(max(na, 1)))
+        # slice on the alive-POSITION bound, not the alive count: chunk
+        # programs skip the compaction sort, so alive slots sit below the
+        # last sort's alive count with holes (see _iterate_update)
+        new_cap = min(cap, _pad_capacity(max(bound, 1)))
         if new_cap < cap:
             values_t, sizes, slots = _slice_state(
                 values_t, sizes, slots, new_cap)
@@ -667,12 +720,12 @@ def _drive_session(values_t, sizes, slots, parent, na, it, thr, base_rng,
         tpad = np.full(c_prog, 9.0, np.float32)
         tpad[:c] = thr[it:it + c]
         t0 = time.perf_counter()
-        values_t, sizes, slots, parent, na_dev = _chunk_program(
+        values_t, sizes, slots, parent, na_dev, bound_dev = _chunk_program(
             values_t, sizes, slots, parent, base_rng, jnp.asarray(tpad),
             jnp.int32(it), rounds, merge)
         jax.block_until_ready(na_dev)
         t1 = time.perf_counter()
-        na = int(na_dev)                      # 1 RT per chunk
+        na, bound = int(na_dev), int(bound_dev)   # 1 RT per chunk
         t2 = time.perf_counter()
         LAST_SESSION["device_seconds"] += t1 - t0
         LAST_SESSION["pull_seconds"] += t2 - t1
@@ -682,34 +735,58 @@ def _drive_session(values_t, sizes, slots, parent, na, it, thr, base_rng,
         if verbose:
             print(f"[tpu] iter {it}: {na} clusters")
 
-    # chains deepen ≤1 per merge round; round up generously
+    # forest depth ≤ executed iterations + 1 (a death records its chain
+    # HEAD, which survives that iteration — chains deepen ≤ 1 per merge
+    # round); 2**jumps must cover it. Each jump is a cap0-wide 1-D gather
+    # (~9 ns/elem on v5e, tools/iter_profile.py), so no slack is added.
     rpi = 1 if merge == "chain" else max(rounds, 1)
-    jumps = max(6, math.ceil(math.log2(total * rpi + 2)) + 1)
-    fc = min(cap, _pad_capacity(max(na, 1)))
+    jumps = max(3, math.ceil(math.log2(total * rpi + 2)))
+    fc = min(cap, _pad_capacity(max(bound, 1)))
     t0 = time.perf_counter()
-    dev_buf = _finalize_grouped(values_t, sizes, slots, parent, fc, jumps)
+    dev_buf = _finalize_grouped(values_t, sizes, slots, parent, fc, jumps,
+                                half_pull)
     jax.block_until_ready(dev_buf)
     t1 = time.perf_counter()
-    buf = np.asarray(dev_buf)                 # one pull (1 RT)
-    t2 = time.perf_counter()
     LAST_SESSION["device_seconds"] += t1 - t0
-    LAST_SESSION["pull_seconds"] += t2 - t1
-    LAST_SESSION["pull_bytes"] = LAST_SESSION.get("pull_bytes", 0) + buf.nbytes
     LAST_SESSION.setdefault("programs", []).append(
         (f"finalize@{fc}", round(t1 - t0, 3)))
+    stats = {"device_seconds": LAST_SESSION["device_seconds"],
+             "pull_seconds": LAST_SESSION["pull_seconds"],
+             "pull_bytes": LAST_SESSION.get("pull_bytes", 0),
+             "programs": list(LAST_SESSION.get("programs", []))}
 
-    # unpack: grouping happened on device (filtered rows — their own dead
-    # roots, ioMatrix.cc:381 — sorted to the tail and excluded by lens);
-    # the host only builds offsets and views
-    from kmerlsh_tpu.cluster.groups import Groups
+    def finish():
+        t2 = time.perf_counter()
+        buf = np.asarray(dev_buf)             # one pull (1 RT)
+        dt = time.perf_counter() - t2
+        stats["pull_seconds"] += dt
+        stats["pull_bytes"] += buf.nbytes
+        if not defer_pull:
+            LAST_SESSION["pull_seconds"] += dt
+            LAST_SESSION["pull_bytes"] = (
+                LAST_SESSION.get("pull_bytes", 0) + buf.nbytes)
 
-    flat_all = buf[:cap0]
-    lens = buf[cap0:cap0 + fc][:na].astype(np.int64)
-    csizes = buf[cap0 + fc:cap0 + 2 * fc][:na].astype(np.int64)
-    vals = buf[cap0 + 2 * fc:].view(np.float32).reshape(s, fc)[:, :na]
-    offs = np.concatenate([[0], np.cumsum(lens)])
-    members = Groups(flat_all[:offs[-1]].astype(np.int64), offs)
-    return np.ascontiguousarray(vals.T), csizes, members
+        # unpack: grouping happened on device (filtered rows — their own
+        # dead roots, ioMatrix.cc:381 — sorted to the tail and excluded by
+        # lens); the host only builds offsets and views
+        from kmerlsh_tpu.cluster.groups import Groups
+
+        flat_all = buf[:cap0]
+        lens = buf[cap0:cap0 + fc][:na].astype(np.int64)
+        csizes = buf[cap0 + fc:cap0 + 2 * fc][:na].astype(np.int64)
+        vtail = buf[cap0 + 2 * fc:]
+        if half_pull:
+            vals = vtail.view(np.float16).reshape(s, fc)[:, :na].astype(
+                np.float32)
+        else:
+            vals = vtail.view(np.float32).reshape(s, fc)[:, :na]
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        members = Groups(flat_all[:offs[-1]].astype(np.int64), offs)
+        return np.ascontiguousarray(vals.T), csizes, members
+
+    if defer_pull:
+        return finish, stats
+    return finish()
 
 
 def _group_by_roots(roots, alive_slots, alive_sizes, alive_vals_t):
@@ -756,6 +833,8 @@ def cluster_counts(
     verbose: bool = False,
     n: int | None = None,        # real column count when counts is on device
     merge: str = "chain",
+    half_pull: bool = False,
+    defer_pull: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, list[np.ndarray]]:
     """Single-batch mode C as a handful of fused device programs.
 
@@ -788,7 +867,7 @@ def cluster_counts(
     LAST_SESSION.clear()
     LAST_SESSION.update(device_seconds=0.0, pull_seconds=0.0)
     t0 = time.perf_counter()
-    values_t, sizes, slots, parent, na_dev = _head_program(
+    values_t, sizes, slots, parent, na_dev, _ = _head_program(
         jcounts, jv, base_rng, jnp.asarray(head_thr), rounds, merge,
         deep_init)
     jax.block_until_ready(na_dev)
@@ -801,7 +880,8 @@ def cluster_counts(
     if verbose:
         print(f"[tpu] head ({head_k} iters): {na} clusters")
     return _drive_session(values_t, sizes, slots, parent, na, head_k, thr,
-                          base_rng, rounds, merge, verbose, cap0, S, n)
+                          base_rng, rounds, merge, verbose, cap0, S, n,
+                          half_pull=half_pull, defer_pull=defer_pull)
 
 
 def _pad_capacity(n: int) -> int:
@@ -883,7 +963,7 @@ def cluster(
     LAST_SESSION.clear()
     LAST_SESSION.update(device_seconds=0.0, pull_seconds=0.0)
     t0 = time.perf_counter()
-    values_t, jsizes, slots, parent, na_dev = _head_values_program(
+    values_t, jsizes, slots, parent, na_dev, _ = _head_values_program(
         jvals, jsizes, base_rng, jnp.asarray(head_thr), rounds, merge,
         init_rounds is not None)
     jax.block_until_ready(na_dev)

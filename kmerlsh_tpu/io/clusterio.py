@@ -64,9 +64,15 @@ def save_result(
 
 def save_binary(
     values: np.ndarray, ids_list, path: str,
-    append: bool = False, ignore_small: int = 0,
+    append: bool = False, ignore_small: int = 0, dtype: str = "<f4",
 ) -> None:
-    values = np.asarray(values, dtype="<f4")
+    """``dtype`` is "<f4" for the reference-format final artifact
+    (SaveBinary, ioMatrix.cc:322-351); the out-of-core TMP rounds pass
+    "<f2" — tmp files are internal, and half-precision centroids halve the
+    tunnel/disk bytes while staying ~1e-3-accurate, far below what the
+    0.8-0.95 cosine thresholds can resolve (see
+    test_out_of_core_f16_tmp_matches_f32)."""
+    values = np.asarray(values, dtype=dtype)
     g = as_groups(ids_list)
     keep = np.flatnonzero(g.sizes > ignore_small)
     with open(path, "ab" if append else "wb") as f:
@@ -74,27 +80,29 @@ def save_binary(
 
 
 def read_cluster_all(
-    path: str, num_samples: int
+    path: str, num_samples: int, dtype: str = "<f4"
 ) -> tuple[np.ndarray, Groups]:
-    """Read every cluster (= ReadClusterAll, ioMatrix.cc:48-120)."""
-    values = np.fromfile(path, dtype="<f4").reshape(-1, num_samples)
+    """Read every cluster (= ReadClusterAll, ioMatrix.cc:48-120).
+    Values always come back float32 regardless of the on-disk ``dtype``."""
+    values = np.fromfile(path, dtype=dtype).reshape(-1, num_samples)
     ids = _read_clust(path + ".clust")
     if len(ids) != len(values):
         raise ValueError(
             f"{path}: {len(values)} binary rows vs {len(ids)} .clust lines"
         )
-    return values, ids
+    return values.astype(np.float32, copy=False), ids
 
 
 def read_cluster(
-    path: str, num_samples: int, start_line: int, num_lines: int
+    path: str, num_samples: int, start_line: int, num_lines: int,
+    dtype: str = "<f4",
 ) -> tuple[np.ndarray, Groups]:
     """Read a [start_line, start_line+num_lines) window (= ReadCluster,
-    ioMatrix.cc:122-199)."""
-    mm = np.memmap(path, dtype="<f4", mode="r").reshape(-1, num_samples)
+    ioMatrix.cc:122-199). Values come back float32."""
+    mm = np.memmap(path, dtype=dtype, mode="r").reshape(-1, num_samples)
     values = np.asarray(mm[start_line : start_line + num_lines])
     ids = _read_clust(path + ".clust", start_line, num_lines)
-    return values, ids
+    return values.astype(np.float32, copy=False), ids
 
 
 def save_matrix(

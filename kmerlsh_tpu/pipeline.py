@@ -85,6 +85,21 @@ def _cluster_fn(params: HyperParams):
     return run
 
 
+# on-disk dtype of the INTERNAL tmp-round centroid files (the reference's
+# tmp/N.bin, kmerLSH.cc:326-336, which it writes f32). f16 halves the
+# dominant out-of-core cost — pulling ~1.6 GB of survivor centroids per
+# 2^25 batch through a tunnel/PCIe and re-reading them each merge round —
+# and its ~1e-3 relative error is invisible to the 0.8-0.95 cosine
+# thresholds of the merge rounds (test_out_of_core_f16_tmp_matches_f32).
+# The FINAL <clust_file> binary stays f32 (reference format).
+TMP_VALUES_DTYPE = "<f2"
+
+# floor of the merge-round window (rows per merge-round read; the real
+# window is half the HBM-sized batch budget — merge rounds run f32 survivor
+# sessions at roughly twice the per-row bytes of the uint16 counts session)
+MERGE_WINDOW_MIN = 1 << 16
+
+
 def init_clustering(
     params: HyperParams, kmap_size: int, v_kmers: list[float], stages: Stages,
 ) -> tuple[np.ndarray, list[np.ndarray]]:
@@ -93,7 +108,15 @@ def init_clustering(
     then re-merge tmp files in rounds (similarity − 0.001 per round, 5
     iterations) until ≤ one batch remains. Multi-host: every process
     computes the identical global clustering; tmp artifacts are written by
-    process 0 only, with barriers before they are read back."""
+    process 0 only, with barriers before they are read back.
+
+    Single-chip batch passes pull HALF-precision centroids (engine
+    ``half_pull``) and overlap each batch's device→host pull + tmp save
+    with the next batch's read + device pass (engine ``defer_pull`` + a
+    flush thread). Per-phase device/pull splits accumulate into
+    ``stages.times`` (VERDICT r4 #3)."""
+    import threading
+
     from kmerlsh_tpu.parallel import multihost
 
     cluster = _cluster_fn(params)
@@ -106,13 +129,66 @@ def init_clustering(
     batch = params.batch_thresh
     tmp_no = 0
     write_path = os.path.join(params.tmp_dir, f"{tmp_no}.bin")
-    total = 0
     seed = params.seed
+
+    def _acc_split(st: dict) -> None:
+        for key in ("device_seconds", "pull_seconds"):
+            if key in st:
+                stages.times[key] = stages.times.get(key, 0.0) + st[key]
+        if st.get("pull_bytes"):
+            stages.metrics["pull_bytes"] = (
+                stages.metrics.get("pull_bytes", 0) + int(st["pull_bytes"]))
 
     mesh = _mesh_or_none() if params.engine != "greedy" else None
     offset = 0
-    first = True
+    state = {"total": 0, "first": True}
+    errs: list[BaseException] = []
+
+    def save_batch(cents, groups, ids, stats=None):
+        """Translate groups to global ids and append to the tmp round
+        files (runs on the flush thread for deferred engine batches)."""
+        try:
+            if stats is not None:
+                _acc_split(stats)
+            if isinstance(groups, Groups):
+                # engine/dist groups are sorted-within and ``ids`` is
+                # monotone, so the translation preserves ascending order
+                ids_list = groups.map_ids(ids)
+            else:
+                ids_list = Groups.from_list(
+                    [np.sort(ids[g]) for g in groups], dtype=np.uint64)
+            with stages.stage("save_tmp"):
+                if multihost.proc0():
+                    clusterio.save_result(
+                        ids_list, write_path + ".clust",
+                        append=not state["first"], ignore_small=0)
+                    clusterio.save_binary(
+                        cents, ids_list, write_path,
+                        append=not state["first"], ignore_small=0,
+                        dtype=TMP_VALUES_DTYPE)
+            state["total"] += len(ids_list)
+            state["first"] = False
+        except BaseException as e:  # noqa: BLE001 — re-raised on the driver
+            errs.append(e)
+
+    def flush_deferred(finish, stats, ids):
+        try:
+            cents, _, groups = finish()
+        except BaseException as e:  # noqa: BLE001 — re-raised on the driver
+            errs.append(e)
+            return
+        save_batch(cents, groups, ids, stats)
+
+    pending = None        # (finish, stats, ids) of the previous batch
+    th = None
     while offset < kmap_size:
+        if pending is not None:
+            # overlap: the previous batch's pull + tmp save run while this
+            # batch reads from disk and executes on device
+            th = threading.Thread(target=flush_deferred, args=pending,
+                                  daemon=True)
+            th.start()
+            pending = None
         bs = min(batch, kmap_size - offset)
         with stages.stage("read_batch"):
             cmat = countsio.read_count_batch(bin_path, S, kmap_size, offset, bs)
@@ -130,6 +206,10 @@ def init_clustering(
                     cmat, v, np.asarray([0.95], np.float32), mesh=mesh,
                     seed=seed, verbose=params.verbose)
             ids = (offset + np.arange(bs)).astype(np.uint64)
+            if th is not None:
+                th.join()
+                th = None
+            save_batch(cents, groups, ids, dist.LAST_SESSION)
         elif params.engine == "greedy":
             with stages.stage("transform"):
                 jvalues_t, keep = transform.abundance_transform_t(cmat, v)
@@ -138,6 +218,10 @@ def init_clustering(
             ids = (offset + np.nonzero(keep_np)[0]).astype(np.uint64)
             with stages.stage("cluster_batch"):
                 cents, _, groups = cluster(values, None, 1, similarity, seed)
+            if th is not None:
+                th.join()
+                th = None
+            save_batch(cents, groups, ids)
         else:
             # single chip: the transform fuses into the head program
             # (engine.cluster_counts) exactly like the fused single-batch
@@ -149,34 +233,32 @@ def init_clustering(
 
             ids = (offset + np.arange(bs)).astype(np.uint64)
             with stages.stage("cluster_batch"):
-                cents, _, groups = engine.cluster_counts(
+                finish, stats = engine.cluster_counts(
                     cmat, v, np.asarray([0.95], np.float32), seed=seed,
                     rounds=max(params.merge_rounds, 16), deep_init=True,
-                    verbose=params.verbose)
+                    verbose=params.verbose, half_pull=True, defer_pull=True)
+            if th is not None:
+                th.join()
+                th = None
+            pending = (finish, stats, ids)
+        if errs:
+            raise errs[0]
         seed += 1
-        if isinstance(groups, Groups):
-            # engine/dist groups are sorted-within and ``ids`` is monotone,
-            # so the translation preserves ascending order
-            ids_list = groups.map_ids(ids)
-        else:
-            ids_list = Groups.from_list([np.sort(ids[g]) for g in groups],
-                                        dtype=np.uint64)
-        with stages.stage("save_tmp"):
-            if multihost.proc0():
-                clusterio.save_result(ids_list, write_path + ".clust",
-                                      append=not first, ignore_small=0)
-                clusterio.save_binary(cents, ids_list, write_path,
-                                      append=not first, ignore_small=0)
-        total += len(ids_list)
         offset += bs
-        first = False
+    if th is not None:
+        th.join()
+    if pending is not None:
+        flush_deferred(*pending)
+    if errs:
+        raise errs[0]
+    total = state["total"]
 
     # merge rounds operate on survivor VALUES (f32 [n, S] uploads + f32
     # session state — roughly twice the per-row bytes of the uint16 counts
     # sessions the batch budget was sized for), so their window is half the
     # batch budget; observed: a full-budget merge round ResourceExhausts
     # where the same-capacity counts session fits
-    vbatch = max(1 << 16, batch // 2)
+    vbatch = max(MERGE_WINDOW_MIN, batch // 2)
     while total > vbatch:
         similarity -= 0.001  # kmerLSH.cc:356
         read_path = write_path
@@ -186,17 +268,29 @@ def init_clustering(
         multihost.barrier(f"tmp_round_{tmp_no}")   # writes visible before reads
         while start < remaining:
             bs = min(vbatch, remaining - start)
-            values, ids_list = clusterio.read_cluster(read_path, S, start, bs)
+            with stages.stage("read_tmp"):
+                values, ids_list = clusterio.read_cluster(
+                    read_path, S, start, bs, dtype=TMP_VALUES_DTYPE)
             sizes = ids_list.sizes.astype(np.int32)
             with stages.stage("cluster_merge_round"):
                 cents, _, groups = cluster(values, sizes, 5, similarity, seed)
+            if mesh is not None:
+                from kmerlsh_tpu.parallel import dist
+
+                _acc_split(dist.LAST_SESSION)
+            elif params.engine != "greedy":
+                from kmerlsh_tpu.cluster import engine
+
+                _acc_split(engine.LAST_SESSION)
             seed += 1
             out_ids = ids_list.regroup(groups)
-            if multihost.proc0():
-                clusterio.save_result(out_ids, write_path + ".clust",
-                                      append=not first, ignore_small=0)
-                clusterio.save_binary(cents, out_ids, write_path,
-                                      append=not first, ignore_small=0)
+            with stages.stage("save_tmp"):
+                if multihost.proc0():
+                    clusterio.save_result(out_ids, write_path + ".clust",
+                                          append=not first, ignore_small=0)
+                    clusterio.save_binary(cents, out_ids, write_path,
+                                          append=not first, ignore_small=0,
+                                          dtype=TMP_VALUES_DTYPE)
             total += len(out_ids)
             start += bs
             first = False
@@ -206,7 +300,7 @@ def init_clustering(
             os.remove(read_path + ".clust")
 
     multihost.barrier("init_clustering_done")
-    return clusterio.read_cluster_all(write_path, S)
+    return clusterio.read_cluster_all(write_path, S, dtype=TMP_VALUES_DTYPE)
 
 
 def _fused_single_batch(

@@ -360,3 +360,31 @@ def test_hbm_static_tpu_model_pins_v5e_design_points(monkeypatch):
     assert b100 <= 1 << int(np.floor(np.log2(int(v5e * 0.6 /
         hbm._tpu_static_per_row(100)))))
     assert b100 < rows_08
+
+
+def test_half_pull_matches_full_precision():
+    """engine.cluster_counts(half_pull=True) packs f16 centroid pairs into
+    the finalize buffer (halves the out-of-core pull); memberships/sizes
+    must be EXACT (ids never touch the value path) and centroids within
+    f16 rounding of the f32 pull."""
+    from kmerlsh_tpu.cluster import engine
+
+    rng = np.random.default_rng(5)
+    S, n = 12, 3000
+    prof = rng.gamma(2.0, 20.0, size=(64, S))
+    rows = rng.integers(0, 64, size=n)
+    counts = np.ascontiguousarray(
+        np.minimum(rng.poisson(prof[rows]), 65535).astype(np.uint16).T)
+    v = (np.log(np.maximum(counts, 1)).sum(axis=1) / n).astype(np.float32)
+    thr = (0.95 - 0.0075 * np.arange(8)).astype(np.float32)
+
+    c0, s0, g0 = engine.cluster_counts(counts, v, thr, seed=1)
+    finish, stats = engine.cluster_counts(counts, v, thr, seed=1,
+                                          half_pull=True, defer_pull=True)
+    c1, s1, g1 = finish()
+    assert np.array_equal(s0, s1)
+    assert len(g0) == len(g1)
+    assert all(np.array_equal(a, b) for a, b in zip(g0, g1))
+    denom = np.maximum(np.abs(c0), 1e-3)
+    assert np.max(np.abs(c0 - c1) / denom) < 2e-3
+    assert stats["pull_seconds"] > 0 and stats["pull_bytes"] > 0
