@@ -71,33 +71,70 @@ SMALL_CHUNK = 32    # at small capacities, fuse more: dispatch latency
                     # dominates over the (tiny) per-iteration compute
 
 # How the per-iteration permutation is applied to the [S, M] value matrix
-# (the single hottest choice in the engine — see tools/iter_profile.py):
-#   "payload_sort" — ONE variadic lax.sort carries the S value rows as
-#     payloads (round 2-4 design);
-#   "gather_lane"  — sort only (key, i32 payloads, iota), then one
-#     values_t[:, order] gather along the lane axis;
-#   "gather_rows"  — same, but gather rows of the [M, S] transpose
-#     (sublane-axis gather) with transposes either side.
-# All three apply the IDENTICAL stable permutation — results are
-# bit-for-bit equal; only the data movement differs.
+# (the single hottest choice in the engine — measured via
+# tools/iter_profile.py: the variadic sort costs ~17 ms per payload array
+# at 2^24 on v5e while any XLA gather of the matrix costs MORE than the
+# whole payload sort, so "sort keys then gather" always loses):
+#   "payload_sort"     — ONE variadic lax.sort carries the S f32 value
+#     rows as payloads (bit-exact; round 2-4 design);
+#   "payload_sort_f16" — the value rows ride the sort as ⌈S/2⌉ i32 rows
+#     of packed f16 pairs (~40% fewer payload arrays at S=20): values are
+#     rounded to f16 AT SORT TIME, merge means stay f32. Unmerged
+#     centroids re-round to the identical f16 each iteration (idempotent),
+#     so the error stays a one-time ~5e-4 relative rounding — invisible to
+#     the 0.8-0.95 cosine thresholds but NOT bit-exact vs payload_sort;
+#   "gather_lane" / "gather_rows" — sort (key, i32 payloads, iota) then
+#     gather the matrix (kept for measurement; slower on v5e, see above).
 PERMUTE = "payload_sort"
 
 
-def _sort_state(key, sizes, cur_slot, merged_into, values_t):
-    """Stable-sort the iteration state by ``key`` using the strategy in
-    ``PERMUTE``. Returns (skey, ssizes, scs, smi, svt[S, M])."""
+def _pack_f16(values_t):
+    """[S, M] f32 → [⌈S/2⌉, M] i32 of packed f16 pairs (row 2i in the low
+    half-word, row 2i+1 in the high half-word)."""
     s, m = values_t.shape
-    if PERMUTE == "payload_sort":
+    u = jax.lax.bitcast_convert_type(
+        values_t.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
+    if s % 2:
+        u = jnp.concatenate([u, jnp.zeros((1, m), jnp.uint32)])
+    packed = u[0::2] | (u[1::2] << 16)
+    return jax.lax.bitcast_convert_type(packed.astype(jnp.uint32), jnp.int32)
+
+
+def _unpack_f16(packed, s: int):
+    """Inverse of :func:`_pack_f16`, upcast to f32 [S, M]."""
+    u = jax.lax.bitcast_convert_type(packed, jnp.uint32)
+    lo = (u & jnp.uint32(0xFFFF)).astype(jnp.uint16)
+    hi = (u >> 16).astype(jnp.uint16)
+    inter = jnp.stack([lo, hi], axis=1).reshape(-1, packed.shape[1])
+    return jax.lax.bitcast_convert_type(
+        inter[:s], jnp.float16).astype(jnp.float32)
+
+
+def _sort_state(key, sizes, cur_slot, merged_into, values_t,
+                permute: str = "payload_sort"):
+    """Stable-sort the iteration state by ``key`` using the strategy
+    ``permute`` (see :data:`PERMUTE`). Returns
+    (skey, ssizes, scs, smi, svt[S, M])."""
+    s, m = values_t.shape
+    if permute == "payload_sort":
         ops = jax.lax.sort(
             (key, sizes, cur_slot, merged_into)
             + tuple(values_t[i] for i in range(s)),
             num_keys=1, is_stable=True)
         return ops[0], ops[1], ops[2], ops[3], jnp.stack(ops[4:])
+    if permute == "payload_sort_f16":
+        packed = _pack_f16(values_t)
+        ops = jax.lax.sort(
+            (key, sizes, cur_slot, merged_into)
+            + tuple(packed[i] for i in range(packed.shape[0])),
+            num_keys=1, is_stable=True)
+        svt = _unpack_f16(jnp.stack(ops[4:]), s)
+        return ops[0], ops[1], ops[2], ops[3], svt
     iota = jnp.arange(m, dtype=jnp.int32)
     skey, ssize, scs, smi, order = jax.lax.sort(
         (key, sizes, cur_slot, merged_into, iota),
         num_keys=1, is_stable=True)
-    if PERMUTE == "gather_lane":
+    if permute == "gather_lane":
         svt = values_t[:, order]
     else:  # gather_rows
         svt = values_t.T[order, :].T
@@ -300,6 +337,7 @@ def chain_collapse(
     merged_into: jax.Array | None = None,
     cur_slot: jax.Array | None = None,
     h: jax.Array | None = None,
+    permute: str = "payload_sort",
 ):
     """Single-pass full bucket collapse: consecutive sorted elements whose
     neighbor cosine ≥ threshold chain together; each chain collapses to a
@@ -332,7 +370,7 @@ def chain_collapse(
 
     combined = _combined_sort_key(keys, proj, sizes, h)
     scomb, ssize, scs, smi, svt = _sort_state(
-        combined, sizes, cur_slot, merged_into, values_t)
+        combined, sizes, cur_slot, merged_into, values_t, permute)
 
     # recover the bucket id from the combined key (dead slots map above any
     # real bucket — see _combined_sort_key)
@@ -385,7 +423,8 @@ def _active_h(sizes):
 
 
 def _one_iteration(values_t, sizes, rng, threshold, rounds, merged_into,
-                   cur_slot, merge: str = "pairing"):
+                   cur_slot, merge: str = "pairing",
+                   permute: str = "payload_sort"):
     """One LSH iteration with h = ⌊log2 n_alive⌋ computed in-graph; state
     stays in sorted position order (cur_slot tracks stable slot ids).
 
@@ -400,7 +439,7 @@ def _one_iteration(values_t, sizes, rng, threshold, rounds, merged_into,
     keys = jnp.where(sizes > 0, keys, jnp.int32(BIG_KEY))
     if merge == "chain":
         return chain_collapse(values_t, sizes, keys, proj, threshold,
-                              merged_into, cur_slot, h=h)
+                              merged_into, cur_slot, h=h, permute=permute)
     return pairing_merge(values_t, sizes, keys, proj, threshold, rounds,
                          merged_into, h=h, cur_slot=cur_slot, unsort=False)
 
@@ -411,20 +450,27 @@ def _compact_order(sizes):
     return jnp.argsort(sizes == 0, stable=True).astype(jnp.int32)
 
 
-def compact_sort(values_t, sizes, slots):
-    """Alive-first stable compaction, using the session's ``PERMUTE``
-    strategy for the [S, M] value movement (see :data:`PERMUTE`)."""
+def compact_sort(values_t, sizes, slots, permute: str = "payload_sort"):
+    """Alive-first stable compaction, using the ``permute`` strategy for
+    the [S, M] value movement (see :data:`PERMUTE`)."""
     s, m = values_t.shape
     dead = (sizes == 0).astype(jnp.int32)
-    if PERMUTE == "payload_sort":
+    if permute == "payload_sort":
         ops = jax.lax.sort(
             (dead, sizes, slots) + tuple(values_t[i] for i in range(s)),
             num_keys=1, is_stable=True)
         return jnp.stack(ops[3:]), ops[1], ops[2]
+    if permute == "payload_sort_f16":
+        packed = _pack_f16(values_t)
+        ops = jax.lax.sort(
+            (dead, sizes, slots)
+            + tuple(packed[i] for i in range(packed.shape[0])),
+            num_keys=1, is_stable=True)
+        return _unpack_f16(jnp.stack(ops[3:]), s), ops[1], ops[2]
     iota = jnp.arange(m, dtype=jnp.int32)
     _, ssize, sslots, order = jax.lax.sort(
         (dead, sizes, slots, iota), num_keys=1, is_stable=True)
-    if PERMUTE == "gather_lane":
+    if permute == "gather_lane":
         svt = values_t[:, order]
     else:
         svt = values_t.T[order, :].T
@@ -432,7 +478,8 @@ def compact_sort(values_t, sizes, slots):
 
 
 def _iterate_update(values_t, sizes, slots, parent, base_rng, thresholds,
-                    iter_offset, rounds, merge, deep_init, compact=True):
+                    iter_offset, rounds, merge, deep_init, compact=True,
+                    permute: str = "payload_sort"):
     """Traced core shared by the head/chunk session programs: run
     ``len(thresholds)`` iterations (threshold > 1 ⇒ padding no-op), fold the
     merges into the on-device parent forest.
@@ -468,7 +515,8 @@ def _iterate_update(values_t, sizes, slots, parent, base_rng, thresholds,
         keys, proj = lsh.signatures_t(values_t, hyper, h)
         keys = jnp.where(sizes > 0, keys, jnp.int32(BIG_KEY))
         values_t, sizes, mi, cs = chain_collapse(
-            values_t, sizes, keys, proj, thresholds[0], mi, cs, h=h)
+            values_t, sizes, keys, proj, thresholds[0], mi, cs, h=h,
+            permute=permute)
         off = 1
 
     rest = thresholds[off:]
@@ -481,7 +529,7 @@ def _iterate_update(values_t, sizes, slots, parent, base_rng, thresholds,
                 na_in = jnp.sum((sizes > 0).astype(jnp.int32))
                 rng = jax.random.fold_in(base_rng, it)
                 return _one_iteration(values_t, sizes, rng, thr, rounds, mi,
-                                      cs, merge) + (na_in,)
+                                      cs, merge, permute) + (na_in,)
 
             # padding thresholds (> 1) are TRUE no-ops (see _lsh_cluster_chunk)
             return jax.lax.cond(thr <= 1.0, run, lambda c: c, carry), ()
@@ -496,14 +544,16 @@ def _iterate_update(values_t, sizes, slots, parent, base_rng, thresholds,
     parent = parent.at[cs].set(jnp.where(mi >= 0, mi, parent[cs]))
     n_alive = jnp.sum((sizes > 0).astype(jnp.int32))
     if compact:
-        values_t, sizes, cs = compact_sort(values_t, sizes, cs)
+        values_t, sizes, cs = compact_sort(values_t, sizes, cs, permute)
         bound = n_alive
     return values_t, sizes, cs, parent, n_alive, bound
 
 
-@partial(jax.jit, static_argnames=("rounds", "merge", "deep_init"))
+@partial(jax.jit,
+         static_argnames=("rounds", "merge", "deep_init", "permute"))
 def _head_program(counts, v_kmers, base_rng, thresholds,
-                  rounds: int, merge: str, deep_init: bool):
+                  rounds: int, merge: str, deep_init: bool,
+                  permute: str = "payload_sort"):
     """Session head: abundance transform (ioMatrix.cc:353-408 semantics)
     fused with the first iterations. counts uint16 [S, cap] — sample-major,
     exactly the engine's layout: no relayout anywhere."""
@@ -516,18 +566,20 @@ def _head_program(counts, v_kmers, base_rng, thresholds,
     slots = jnp.arange(cap, dtype=jnp.int32)
     parent = jnp.arange(cap, dtype=jnp.int32)
     return _iterate_update(values_t, sizes, slots, parent, base_rng,
-                           thresholds, jnp.int32(0), rounds, merge, deep_init)
+                           thresholds, jnp.int32(0), rounds, merge, deep_init,
+                           permute=permute)
 
 
-@partial(jax.jit, static_argnames=("rounds", "merge"))
+@partial(jax.jit, static_argnames=("rounds", "merge", "permute"))
 def _chunk_program(values_t, sizes, slots, parent, base_rng, thresholds,
-                   iter_offset, rounds: int, merge: str):
+                   iter_offset, rounds: int, merge: str,
+                   permute: str = "payload_sort"):
     """Session middle: a chunk of iterations at the (possibly shrunken)
     current capacity; the parent forest stays at original capacity. No
     compaction sort — the host slices on the returned position bound."""
     return _iterate_update(values_t, sizes, slots, parent, base_rng,
                            thresholds, iter_offset, rounds, merge,
-                           deep_init=False, compact=False)
+                           deep_init=False, compact=False, permute=permute)
 
 
 @partial(jax.jit, static_argnames=("new_cap",))
@@ -670,16 +722,19 @@ HEAD_ITERS = 1
 MID_CHUNK = 3    # iterations per mid-session chunk while capacity is large
 
 
-@partial(jax.jit, static_argnames=("rounds", "merge", "deep_init"))
+@partial(jax.jit,
+         static_argnames=("rounds", "merge", "deep_init", "permute"))
 def _head_values_program(values_t, sizes, base_rng, thresholds,
-                         rounds: int, merge: str, deep_init: bool):
+                         rounds: int, merge: str, deep_init: bool,
+                         permute: str = "payload_sort"):
     """Session head for pre-transformed values (the `cluster()` entry):
     identical dynamics to `_head_program` minus the abundance transform."""
     cap = values_t.shape[1]
     slots = jnp.arange(cap, dtype=jnp.int32)
     parent = jnp.arange(cap, dtype=jnp.int32)
     return _iterate_update(values_t, sizes, slots, parent, base_rng,
-                           thresholds, jnp.int32(0), rounds, merge, deep_init)
+                           thresholds, jnp.int32(0), rounds, merge, deep_init,
+                           permute=permute)
 
 
 def _drive_session(values_t, sizes, slots, parent, na, it, thr, base_rng,
@@ -722,7 +777,7 @@ def _drive_session(values_t, sizes, slots, parent, na, it, thr, base_rng,
         t0 = time.perf_counter()
         values_t, sizes, slots, parent, na_dev, bound_dev = _chunk_program(
             values_t, sizes, slots, parent, base_rng, jnp.asarray(tpad),
-            jnp.int32(it), rounds, merge)
+            jnp.int32(it), rounds, merge, PERMUTE)
         jax.block_until_ready(na_dev)
         t1 = time.perf_counter()
         na, bound = int(na_dev), int(bound_dev)   # 1 RT per chunk
@@ -869,7 +924,7 @@ def cluster_counts(
     t0 = time.perf_counter()
     values_t, sizes, slots, parent, na_dev, _ = _head_program(
         jcounts, jv, base_rng, jnp.asarray(head_thr), rounds, merge,
-        deep_init)
+        deep_init, PERMUTE)
     jax.block_until_ready(na_dev)
     t1 = time.perf_counter()
     na = int(na_dev)                          # 1 RT
@@ -965,7 +1020,7 @@ def cluster(
     t0 = time.perf_counter()
     values_t, jsizes, slots, parent, na_dev, _ = _head_values_program(
         jvals, jsizes, base_rng, jnp.asarray(head_thr), rounds, merge,
-        init_rounds is not None)
+        init_rounds is not None, PERMUTE)
     jax.block_until_ready(na_dev)
     t1 = time.perf_counter()
     na = int(na_dev)
