@@ -75,17 +75,20 @@ SMALL_CHUNK = 32    # at small capacities, fuse more: dispatch latency
 # tools/iter_profile.py: the variadic sort costs ~17 ms per payload array
 # at 2^24 on v5e while any XLA gather of the matrix costs MORE than the
 # whole payload sort, so "sort keys then gather" always loses):
-#   "payload_sort"     — ONE variadic lax.sort carries the S f32 value
-#     rows as payloads (bit-exact; round 2-4 design);
-#   "payload_sort_f16" — the value rows ride the sort as ⌈S/2⌉ i32 rows
-#     of packed f16 pairs (~40% fewer payload arrays at S=20): values are
-#     rounded to f16 AT SORT TIME, merge means stay f32. Unmerged
-#     centroids re-round to the identical f16 each iteration (idempotent),
-#     so the error stays a one-time ~5e-4 relative rounding — invisible to
-#     the 0.8-0.95 cosine thresholds but NOT bit-exact vs payload_sort;
+#   "payload_sort_f16" (DEFAULT) — the value rows ride the sort as ⌈S/2⌉
+#     i32 rows of packed f16 pairs (~40% fewer payload arrays at S=20):
+#     values are rounded to f16 AT SORT TIME, merge means stay f32.
+#     Unmerged centroids re-round to the identical f16 each iteration
+#     (idempotent), so the error stays a one-time ~5e-4 relative rounding
+#     — invisible to the 0.8-0.95 cosine thresholds of the anneal;
+#   "payload_sort"     — full f32 payloads (bit-exact; round 2-4 design,
+#     ~1.7× the sort bytes);
 #   "gather_lane" / "gather_rows" — sort (key, i32 payloads, iota) then
 #     gather the matrix (kept for measurement; slower on v5e, see above).
-PERMUTE = "payload_sort"
+# Overridable via KMERLSH_PERMUTE (e.g. =payload_sort for bit-exact runs).
+import os as _os  # noqa: E402
+
+PERMUTE = _os.environ.get("KMERLSH_PERMUTE", "payload_sort_f16")
 
 
 def _pack_f16(values_t):

@@ -91,7 +91,8 @@ def _realign_to(slot_ref: jax.Array, slot_cur: jax.Array):
 
 
 def _one_dist_iteration(values_t, sizes, slots, parent, n_alive, rng,
-                        threshold, it, e: int, c0_loc: int):
+                        threshold, it, e: int, c0_loc: int,
+                        permute: str = "payload_sort"):
     """One sharded LSH iteration (runs per device inside shard_map)."""
     s, c = values_t.shape
     my = jax.lax.axis_index(ROWS).astype(jnp.int32)
@@ -106,7 +107,8 @@ def _one_dist_iteration(values_t, sizes, slots, parent, n_alive, rng,
     keys, proj = lsh.signatures_t(values_t, hyper, h)
     keys = jnp.where(sizes > 0, keys, jnp.int32(BIG_KEY))
     values_t, sizes, mi, slots = chain_collapse(
-        values_t, sizes, keys, proj, threshold, None, slots, h=h)
+        values_t, sizes, keys, proj, threshold, None, slots, h=h,
+        permute=permute)
     li = slots - base                                        # all local gids
     parent = parent.at[li].set(jnp.where(mi >= 0, mi, parent[li]))
 
@@ -126,7 +128,8 @@ def _one_dist_iteration(values_t, sizes, slots, parent, n_alive, rng,
     gk, gp = lsh.signatures_t(g_vals, hyper, h)
     gk = jnp.where(g_sizes > 0, gk, jnp.int32(BIG_KEY))
     m_vals, m_sizes, m_mi, m_scs = chain_collapse(
-        g_vals, g_sizes, gk, gp, threshold, None, g_slots, h=h)
+        g_vals, g_sizes, gk, gp, threshold, None, g_slots, h=h,
+        permute=permute)
 
     # chain_collapse leaves state sorted AND swaps head/last slot ids;
     # realign by slot identity so position p again holds slot g_slots[p]
@@ -158,7 +161,7 @@ def _one_dist_iteration(values_t, sizes, slots, parent, n_alive, rng,
 
 
 def _scan_iters(values_t, sizes, slots, parent, rng, thresholds, it_offset,
-                e: int, c0_loc: int):
+                e: int, c0_loc: int, permute: str = "payload_sort"):
     """Run ``len(thresholds)`` sharded iterations as one lax.scan; padding
     thresholds (> 1) are true no-ops (cond-skipped — the predicate is
     replicated, so all devices branch identically)."""
@@ -171,7 +174,7 @@ def _scan_iters(values_t, sizes, slots, parent, rng, thresholds, it_offset,
             vt, sz, sl, par, na = c
             return _one_dist_iteration(
                 vt, sz, sl, par, na, jax.random.fold_in(rng, it), thr, it,
-                e, c0_loc)
+                e, c0_loc, permute)
 
         return jax.lax.cond(thr <= 1.0, run, lambda c: c, carry), ()
 
@@ -183,9 +186,9 @@ def _scan_iters(values_t, sizes, slots, parent, rng, thresholds, it_offset,
 
 
 @lru_cache(maxsize=8)
-def _dist_programs(mesh, e: int):
-    """Jitted SPMD programs for one (mesh, exchange_cap); cached so repeated
-    pipeline calls reuse XLA executables."""
+def _dist_programs(mesh, e: int, permute: str = "payload_sort"):
+    """Jitted SPMD programs for one (mesh, exchange_cap, permute); cached
+    so repeated pipeline calls reuse XLA executables."""
 
     def head_body(counts, v_kmers, rng, thresholds):
         s, c = counts.shape
@@ -199,7 +202,7 @@ def _dist_programs(mesh, e: int):
         slots = jnp.arange(c, dtype=jnp.int32) + base
         parent = slots
         return _scan_iters(values_t, sizes, slots, parent, rng, thresholds,
-                           jnp.int32(0), e, c)
+                           jnp.int32(0), e, c, permute)
 
     def head_values_body(values_t, sizes, rng, thresholds):
         c = values_t.shape[1]
@@ -207,12 +210,12 @@ def _dist_programs(mesh, e: int):
         slots = jnp.arange(c, dtype=jnp.int32) + my * jnp.int32(c)
         parent = slots
         return _scan_iters(values_t, sizes, slots, parent, rng, thresholds,
-                           jnp.int32(0), e, c)
+                           jnp.int32(0), e, c, permute)
 
     def chunk_body(values_t, sizes, slots, parent, rng, thresholds,
                    it_offset):
         return _scan_iters(values_t, sizes, slots, parent, rng, thresholds,
-                           it_offset, e, parent.shape[0])
+                           it_offset, e, parent.shape[0], permute)
 
     state_specs = (P(None, ROWS), P(ROWS), P(ROWS), P(ROWS))
     out_state = state_specs + (P(), P())
@@ -233,7 +236,8 @@ def _dist_programs(mesh, e: int):
     def slice_body(values_t, sizes, slots, new_c: int):
         from kmerlsh_tpu.cluster.engine import compact_sort
 
-        values_t, sizes, slots = compact_sort(values_t, sizes, slots)
+        values_t, sizes, slots = compact_sort(values_t, sizes, slots,
+                                              permute)
         return values_t[:, :new_c], sizes[:new_c], slots[:new_c]
 
     def make_slice(new_c):
@@ -524,7 +528,9 @@ def cluster_counts_sharded(
         jcounts, n = upload_counts_sharded(counts, mesh)
     jv = jnp.asarray(np.asarray(v_kmers, np.float32))
 
-    progs = _dist_programs(mesh, exchange_cap)
+    from kmerlsh_tpu.cluster import engine as _eng
+
+    progs = _dist_programs(mesh, exchange_cap, _eng.PERMUTE)
     head = progs[0]
     pulled, rest = _drive(head, (jcounts, jv), mesh, thresholds, seed,
                           exchange_cap, verbose, progs)
@@ -569,7 +575,9 @@ def cluster_sharded(
     jvals = _put(mesh, host_vals, P(None, ROWS))
     jsizes = _put(mesh, host_sizes, P(ROWS))
 
-    progs = _dist_programs(mesh, exchange_cap)
+    from kmerlsh_tpu.cluster import engine as _eng
+
+    progs = _dist_programs(mesh, exchange_cap, _eng.PERMUTE)
     head_values = progs[1]
     pulled, rest = _drive(head_values, (jvals, jsizes), mesh, thresholds,
                           seed, exchange_cap, verbose, progs)

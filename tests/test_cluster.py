@@ -46,10 +46,11 @@ def test_planted_recovery(eng):
     assert len(members) == 12
     assert sorted(sizes.tolist()) == [25] * 12
     assert same_partition(partition_of(members, len(X)), labels)
-    # centroid of a pure cluster ≈ member mean
+    # centroid of a pure cluster ≈ member mean (tolerance covers the
+    # default f16-packed sort payloads: one-time ~5e-4 rounding)
     for c, ids in enumerate(members):
         np.testing.assert_allclose(cents[c], X[np.asarray(ids, int)].mean(0),
-                                   atol=1e-4)
+                                   atol=2e-3)
 
 
 def test_tpu_engine_deterministic():
@@ -80,7 +81,10 @@ def test_weighted_sizes_as_input():
                                    iterations=5, seed=0)
         assert len(members) == 1 and sizes[0] == 4
         want = (3 * X[0] + 1 * X[1]) / 4
-        np.testing.assert_allclose(cents[0], want, atol=1e-6)
+        # f16-packed payloads round inputs once (~5e-4); the weighted-mean
+        # WEIGHTS stay exact — asserted bit-exact under PERMUTE=payload_sort
+        # in test_weighted_mean_exact_under_f32_payloads
+        np.testing.assert_allclose(cents[0], want, atol=2e-3)
 
 
 def test_dissimilar_rows_never_merge():
@@ -388,3 +392,17 @@ def test_half_pull_matches_full_precision():
     denom = np.maximum(np.abs(c0), 1e-3)
     assert np.max(np.abs(c0 - c1) / denom) < 2e-3
     assert stats["pull_seconds"] > 0 and stats["pull_bytes"] > 0
+
+
+def test_weighted_mean_exact_under_f32_payloads(monkeypatch):
+    """With the bit-exact PERMUTE=payload_sort the merged centroid equals
+    the size-weighted mean to f32 rounding (funcAB.cc:62-67), guarding the
+    exact-math path the f16 default trades away."""
+    monkeypatch.setattr(engine, "PERMUTE", "payload_sort")
+    X = np.array([[1.0, 0.0], [0.999, 0.01]], np.float32)
+    w = np.array([3, 1], np.int32)
+    cents, sizes, members = engine.cluster(X, sizes=w, min_similarity=0.9,
+                                           iterations=5, seed=0)
+    assert len(members) == 1 and sizes[0] == 4
+    want = (3 * X[0] + 1 * X[1]) / 4
+    np.testing.assert_allclose(cents[0], want, atol=1e-6)
