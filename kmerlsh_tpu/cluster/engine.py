@@ -93,14 +93,15 @@ PERMUTE = _os.environ.get("KMERLSH_PERMUTE", "payload_sort_f16")
 
 def _pack_f16(values_t):
     """[S, M] f32 → [⌈S/2⌉, M] i32 of packed f16 pairs (row 2i in the low
-    half-word, row 2i+1 in the high half-word)."""
+    half-word, row 2i+1 in the high half-word). Slices before widening so
+    no full-[S, M] u32 temp materializes."""
     s, m = values_t.shape
     u = jax.lax.bitcast_convert_type(
-        values_t.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
+        values_t.astype(jnp.float16), jnp.uint16)
     if s % 2:
-        u = jnp.concatenate([u, jnp.zeros((1, m), jnp.uint32)])
-    packed = u[0::2] | (u[1::2] << 16)
-    return jax.lax.bitcast_convert_type(packed.astype(jnp.uint32), jnp.int32)
+        u = jnp.concatenate([u, jnp.zeros((1, m), jnp.uint16)])
+    packed = u[0::2].astype(jnp.uint32) | (u[1::2].astype(jnp.uint32) << 16)
+    return jax.lax.bitcast_convert_type(packed, jnp.int32)
 
 
 def _unpack_f16(packed, s: int):
@@ -688,11 +689,12 @@ def _finalize_grouped(values_t, sizes, slots, parent, fc: int, jumps: int,
         # pack f16 centroid pairs into i32 — halves the dominant term of
         # the pull (the out-of-core batch passes move ~1.6 GB of survivor
         # centroids per 2^25 batch through the tunnel at f32; f16's ~1e-3
-        # relative error is invisible to 0.8-0.95 cosine thresholds)
+        # relative error is invisible to 0.8-0.95 cosine thresholds).
+        # Pairs are adjacent along the fc axis, matching the host unpack.
         c16 = jax.lax.bitcast_convert_type(
-            cents.astype(jnp.float16), jnp.uint16)
-        pr = c16.reshape(s, fc // 2, 2).astype(jnp.uint32)
-        packed = pr[..., 0] | (pr[..., 1] << 16)
+            cents.astype(jnp.float16), jnp.uint16).reshape(s, fc // 2, 2)
+        packed = (c16[..., 0].astype(jnp.uint32)
+                  | (c16[..., 1].astype(jnp.uint32) << 16))
         vbits = jax.lax.bitcast_convert_type(
             packed, jnp.int32).reshape(-1)
     else:
@@ -800,6 +802,12 @@ def _drive_session(values_t, sizes, slots, parent, na, it, thr, base_rng,
     rpi = 1 if merge == "chain" else max(rounds, 1)
     jumps = max(3, math.ceil(math.log2(total * rpi + 2)))
     fc = min(cap, _pad_capacity(max(bound, 1)))
+    if fc < cap:
+        # slice in a separate program so the over-capacity state frees
+        # BEFORE the finalize allocates: a single-deep-pass batch session
+        # otherwise enters finalize with the full-capacity f32 state alive
+        # (observed ResourceExhausted at the 2^25-batch design point)
+        values_t, sizes, slots = _slice_state(values_t, sizes, slots, fc)
     t0 = time.perf_counter()
     dev_buf = _finalize_grouped(values_t, sizes, slots, parent, fc, jumps,
                                 half_pull)
@@ -929,6 +937,11 @@ def cluster_counts(
         jcounts, jv, base_rng, jnp.asarray(head_thr), rounds, merge,
         deep_init, PERMUTE)
     jax.block_until_ready(na_dev)
+    # drop the local ref to the uint16 count matrix: an init-batch session
+    # never revisits it, and at the 2^25-batch design point its 1.3 GB
+    # otherwise stays allocated through the finalize peak (callers that
+    # cache the device array keep their own reference)
+    del jcounts
     t1 = time.perf_counter()
     na = int(na_dev)                          # 1 RT
     LAST_SESSION["device_seconds"] += t1 - t0

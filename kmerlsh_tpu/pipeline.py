@@ -232,15 +232,28 @@ def init_clustering(
             from kmerlsh_tpu.cluster import engine
 
             ids = (offset + np.arange(bs)).astype(np.uint64)
+            # overlap (defer_pull) only when the batch leaves HBM headroom
+            # for the retained finalize buffer: at the full HBM-sized batch
+            # the next session's peak + the deferred ~1 GB buffer
+            # ResourceExhausts (observed at the 2^25-batch design point)
+            from kmerlsh_tpu.utils.hbm import rows_budget
+
+            defer = bs <= rows_budget(S, 1) // 2
             with stages.stage("cluster_batch"):
-                finish, stats = engine.cluster_counts(
+                out = engine.cluster_counts(
                     cmat, v, np.asarray([0.95], np.float32), seed=seed,
                     rounds=max(params.merge_rounds, 16), deep_init=True,
-                    verbose=params.verbose, half_pull=True, defer_pull=True)
+                    verbose=params.verbose, half_pull=True,
+                    defer_pull=defer)
             if th is not None:
                 th.join()
                 th = None
-            pending = (finish, stats, ids)
+            if defer:
+                finish, stats = out
+                pending = (finish, stats, ids)
+            else:
+                cents, _, groups = out
+                save_batch(cents, groups, ids, engine.LAST_SESSION)
         if errs:
             raise errs[0]
         seed += 1
