@@ -976,6 +976,7 @@ def cluster(
     init_rounds: int | None = None,
     merge: str = "chain",
     transposed: bool = False,
+    half_pull: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, list[np.ndarray]]:
     """Cluster rows of ``values`` [N, S] with the annealed-threshold LSH loop
     (0.95 → min_similarity over ``iterations``, cluster.cc:190-192,330).
@@ -1045,4 +1046,5 @@ def cluster(
     if verbose:
         print(f"[tpu] head ({head_k} iters): {na} clusters")
     return _drive_session(values_t, jsizes, slots, parent, na, head_k, thr,
-                          base_rng, rounds, merge, verbose, cap, s, n)
+                          base_rng, rounds, merge, verbose, cap, s, n,
+                          half_pull=half_pull)

@@ -148,6 +148,12 @@ _CLUST_CACHE: dict = {}
 def _parse_clust(path: str) -> Groups:
     with open(path, "rb") as f:
         buf = f.read()
+    if _native is not None and hasattr(_native, "parse_clust"):
+        # multithreaded native parse (~50x the bytes.split path at the
+        # 45 M-line tmp rounds of the 2^26 design point)
+        flat_b, off_b = _native.parse_clust(buf)
+        return Groups(np.frombuffer(flat_b, np.uint64).copy(),
+                      np.frombuffer(off_b, np.int64).copy())
     arr = np.frombuffer(buf, np.uint8)
     if len(arr) == 0:
         return Groups(np.empty(0, np.uint64), np.zeros(1, np.int64))

@@ -54,7 +54,9 @@ def _cluster_fn(params: HyperParams):
     if params.engine == "greedy":
         from kmerlsh_tpu.cluster import greedy
 
-        def run(values, sizes, iterations, min_similarity, seed):
+        def run(values, sizes, iterations, min_similarity, seed,
+                half_pull=False):
+            del half_pull  # host engine: nothing to pull
             return greedy.cluster(
                 values, sizes=sizes, min_similarity=min_similarity,
                 iterations=iterations,
@@ -63,7 +65,9 @@ def _cluster_fn(params: HyperParams):
     elif _mesh_or_none() is not None:
         from kmerlsh_tpu.parallel import dist
 
-        def run(values, sizes, iterations, min_similarity, seed):
+        def run(values, sizes, iterations, min_similarity, seed,
+                half_pull=False):
+            del half_pull  # sharded pulls are the gathered state, not a buffer
             return dist.cluster_sharded(
                 values, sizes=sizes, min_similarity=min_similarity,
                 iterations=iterations, seed=seed, verbose=params.verbose)
@@ -71,7 +75,7 @@ def _cluster_fn(params: HyperParams):
         from kmerlsh_tpu.cluster import engine
 
         def run(values, sizes, iterations, min_similarity, seed,
-                transposed=False):
+                transposed=False, half_pull=False):
             # single-iteration batch passes mirror the reference's full
             # greedy bucket collapse (cluster.cc:56-87) with extra pairing
             # rounds: log-depth, no re-sort, so 16 rounds ≈ one greedy pass
@@ -80,7 +84,8 @@ def _cluster_fn(params: HyperParams):
             return engine.cluster(
                 values, sizes=sizes, min_similarity=min_similarity,
                 iterations=iterations, seed=seed, rounds=rounds,
-                verbose=params.verbose, transposed=transposed)
+                verbose=params.verbose, transposed=transposed,
+                half_pull=half_pull)
 
     return run
 
@@ -286,7 +291,10 @@ def init_clustering(
                     read_path, S, start, bs, dtype=TMP_VALUES_DTYPE)
             sizes = ids_list.sizes.astype(np.int32)
             with stages.stage("cluster_merge_round"):
-                cents, _, groups = cluster(values, sizes, 5, similarity, seed)
+                # merge-round outputs land in f16 tmp files anyway: pull
+                # half-precision centroids (engine path only)
+                cents, _, groups = cluster(values, sizes, 5, similarity,
+                                           seed, half_pull=True)
             if mesh is not None:
                 from kmerlsh_tpu.parallel import dist
 

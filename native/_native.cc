@@ -674,9 +674,142 @@ static PyObject* native_render_clust(PyObject*, PyObject* args) {
   return out;
 }
 
+// ------------------------------------------------------------- parse_clust
+//
+// Inverse of render_clust: parse `.clust` text ("size\tid…\n" per line,
+// io/ioMatrix.cc:48-120 reader semantics) into (uint64 flat ids, int64
+// group offsets). The NumPy path materializes ~2 Python objects per token
+// via bytes.split() (~73 s for a 45 M-line tmp round at the 2^26 design
+// point); this parses the same bytes multithreaded in ~1-2 s.
+
+// parse_clust(text: bytes, threads=0)
+//   -> (flat: bytes(uint64[n]), offsets: bytes(int64[g+1]))
+static PyObject* native_parse_clust(PyObject*, PyObject* args) {
+  Py_buffer tb;
+  int threads = 0;
+  if (!PyArg_ParseTuple(args, "y*|i", &tb, &threads)) return nullptr;
+  const char* s = (const char*)tb.buf;
+  Py_ssize_t n = tb.len;
+  if (threads <= 0) {
+    unsigned hc = std::thread::hardware_concurrency();
+    threads = hc ? (int)hc : 1;
+  }
+  if (n < (Py_ssize_t)threads * 4096) threads = 1;
+
+  std::vector<Py_ssize_t> bounds((size_t)threads + 1, 0);
+  bounds[(size_t)threads] = n;
+  for (int t = 1; t < threads; ++t) {
+    Py_ssize_t p = n * t / threads;
+    while (p < n && s[p] != '\n') ++p;
+    bounds[(size_t)t] = p < n ? p + 1 : n;
+  }
+  for (int t = 1; t < threads; ++t)
+    if (bounds[(size_t)t] < bounds[(size_t)t - 1])
+      bounds[(size_t)t] = bounds[(size_t)t - 1];
+
+  struct Part {
+    std::vector<uint64_t> ids;
+    std::vector<int64_t> sizes;
+    bool bad = false;
+  };
+  std::vector<Part> parts((size_t)threads);
+
+  auto parse_range = [&](Py_ssize_t lo, Py_ssize_t hi, Part& pr) {
+    const char* p = s + lo;
+    const char* end = s + hi;
+    pr.ids.reserve((size_t)(hi - lo) / 8);
+    while (p < end) {
+      if (*p == '\n') { ++p; continue; }
+      uint64_t declared = 0;
+      bool any = false;
+      while (p < end && *p >= '0' && *p <= '9') {
+        declared = declared * 10 + (uint64_t)(*p - '0');
+        ++p;
+        any = true;
+      }
+      if (!any) { pr.bad = true; return; }
+      uint64_t count = 0;
+      while (p < end && *p == '\t') {
+        ++p;
+        uint64_t v = 0;
+        bool d = false;
+        while (p < end && *p >= '0' && *p <= '9') {
+          v = v * 10 + (uint64_t)(*p - '0');
+          ++p;
+          d = true;
+        }
+        if (!d) { pr.bad = true; return; }
+        pr.ids.push_back(v);
+        ++count;
+      }
+      if (p < end) {
+        if (*p == '\n') ++p; else { pr.bad = true; return; }
+      }
+      if (count != declared) { pr.bad = true; return; }
+      pr.sizes.push_back((int64_t)count);
+    }
+  };
+
+  Py_BEGIN_ALLOW_THREADS
+  if (threads <= 1) {
+    parse_range(0, n, parts[0]);
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve((size_t)threads);
+    for (int t = 0; t < threads; ++t)
+      pool.emplace_back([&, t] {
+        parse_range(bounds[(size_t)t], bounds[(size_t)t + 1],
+                    parts[(size_t)t]);
+      });
+    for (auto& th : pool) th.join();
+  }
+  Py_END_ALLOW_THREADS
+
+  PyBuffer_Release(&tb);
+  for (auto& pr : parts)
+    if (pr.bad) {
+      PyErr_SetString(PyExc_ValueError,
+                      ".clust parse error: malformed line or size field "
+                      "mismatch");
+      return nullptr;
+    }
+  size_t g = 0, tot = 0;
+  for (auto& pr : parts) {
+    g += pr.sizes.size();
+    tot += pr.ids.size();
+  }
+  PyObject* flat_o =
+      PyBytes_FromStringAndSize(nullptr, (Py_ssize_t)(tot * 8));
+  PyObject* off_o =
+      PyBytes_FromStringAndSize(nullptr, (Py_ssize_t)((g + 1) * 8));
+  if (!flat_o || !off_o) {
+    Py_XDECREF(flat_o);
+    Py_XDECREF(off_o);
+    return nullptr;
+  }
+  uint64_t* fd = (uint64_t*)PyBytes_AS_STRING(flat_o);
+  int64_t* od = (int64_t*)PyBytes_AS_STRING(off_o);
+  int64_t acc = 0;
+  size_t oi = 0;
+  od[oi++] = 0;
+  for (auto& pr : parts) {
+    if (!pr.ids.empty()) {
+      memcpy(fd, pr.ids.data(), pr.ids.size() * sizeof(uint64_t));
+      fd += pr.ids.size();
+    }
+    for (int64_t szv : pr.sizes) {
+      acc += szv;
+      od[oi++] = acc;
+    }
+  }
+  return Py_BuildValue("NN", flat_o, off_o);
+}
+
 static PyMethodDef native_functions[] = {
     {"render_clust", native_render_clust, METH_VARARGS,
      "Render (flat uint64 ids, int64 group offsets) to .clust text bytes."},
+    {"parse_clust", native_parse_clust, METH_VARARGS,
+     "Parse .clust text bytes to (flat uint64 ids, int64 group offsets)."},
     {nullptr, nullptr, 0, nullptr},
 };
 
