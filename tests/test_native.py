@@ -132,3 +132,46 @@ def test_score_part_native_matches_host():
             host = readops.score_part(seqs, diff, k, vote)
             nat = readops.score_part_native(seqs, diff, k, vote)
             assert np.array_equal(host, nat), (k, vote)
+
+
+def test_parse_clust_matches_python_fallback():
+    """The native multithreaded .clust parser must agree with the NumPy
+    fallback bit-for-bit, including boundary values and the missing-final-
+    newline tolerance, and reject malformed size fields."""
+    import unittest.mock as mock
+
+    from kmerlsh_tpu.io import clusterio
+
+    rng = np.random.default_rng(5)
+    sizes = rng.integers(1, 9, size=4000).astype(np.int64)
+    flat = rng.integers(0, 1 << 63, size=sizes.sum()).astype(np.uint64)
+    flat[0] = 0
+    flat[1] = np.uint64(2**64 - 1)
+    text = clusterio._render_clust(flat, sizes)
+    for blob in (text, text[:-1]):          # with and without final \n
+        import tempfile, os
+
+        with tempfile.NamedTemporaryFile(delete=False) as f:
+            f.write(blob)
+            path = f.name
+        try:
+            clusterio._CLUST_CACHE.clear()
+            g_native = clusterio._parse_clust(path)
+            with mock.patch.object(clusterio, "_native", None):
+                g_py = clusterio._parse_clust(path)
+            assert np.array_equal(g_native.flat, g_py.flat)
+            assert np.array_equal(g_native.offsets, g_py.offsets)
+        finally:
+            os.unlink(path)
+
+    import pytest
+
+    with tempfile.NamedTemporaryFile(delete=False) as f:
+        f.write(b"3\t1\t2\n")               # declared 3, only 2 ids
+        bad = f.name
+    try:
+        clusterio._CLUST_CACHE.clear()
+        with pytest.raises(ValueError):
+            clusterio._parse_clust(bad)
+    finally:
+        os.unlink(bad)
