@@ -391,10 +391,15 @@ def _fused_single_batch(
             stages.record("pull_bytes",
                           int(dist.LAST_SESSION["pull_bytes"]))
     else:
+        # half_pull: the finalize centroids cross device→host as packed
+        # f16 (halves the dominant warm-wall transfer, 252→130 MB at the
+        # 2^24 headline). The saved binary stays f32 BYTES (reference
+        # format); its values carry f16 precision — which is already the
+        # engine's working precision under the default f16 sort payloads.
         cents, _, groups = engine.cluster_counts(
             jcounts, v, schedule, seed=params.seed,
             rounds=params.merge_rounds, deep_init=True,
-            verbose=params.verbose, n=n)
+            verbose=params.verbose, n=n, half_pull=True)
         # headline split: device program wall vs device→host pulls (the
         # pulls are tunnel/RTT artifacts; ~free on local PCIe)
         for key in ("device_seconds", "pull_seconds"):
