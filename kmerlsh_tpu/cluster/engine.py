@@ -524,7 +524,18 @@ def _iterate_update(values_t, sizes, slots, parent, base_rng, thresholds,
         off = 1
 
     rest = thresholds[off:]
-    if rest.shape[0]:
+    if rest.shape[0] == 1:
+        # single-iteration programs skip the lax.scan/cond wrapper: the
+        # scan double-buffers the [S, M] f32 carry, which pushes a
+        # full-HBM-capacity session over the budget (scanned chunks at
+        # 2^25 × 20 ResourceExhaust on v5e where the same iteration
+        # unscanned fits — see BIG_SCAN_CAP)
+        na_in = jnp.sum((sizes > 0).astype(jnp.int32))
+        values_t, sizes, mi, cs = _one_iteration(
+            values_t, sizes, jax.random.fold_in(base_rng, iter_offset + off),
+            rest[0], rounds, mi, cs, merge, permute)
+        bound = na_in
+    elif rest.shape[0]:
         def body(carry, x):
             thr, it = x
 
@@ -591,6 +602,18 @@ def _slice_state(values_t, sizes, slots, new_cap: int):
     """Shrink alive-first-compacted state to a smaller capacity (the
     session analog of the reference's shrinking cluster vector): later
     iterations sort/scan/gather proportionally less."""
+    return values_t[:, :new_cap], sizes[:new_cap], slots[:new_cap]
+
+
+@partial(jax.jit, static_argnames=("new_cap", "permute"))
+def _compact_slice_state(values_t, sizes, slots, new_cap: int, permute: str):
+    """Alive-first compaction + slice in one program: used when the alive
+    COUNT fits a smaller capacity than the alive-position BOUND does (the
+    hole-sliced state can carry holes worth a full power of two — e.g. a
+    deep-init pass that kills 30% of a full-HBM session; running chunks or
+    the finalize at double width then ResourceExhausts at the 2^25 design
+    point)."""
+    values_t, sizes, slots = compact_sort(values_t, sizes, slots, permute)
     return values_t[:, :new_cap], sizes[:new_cap], slots[:new_cap]
 
 
@@ -717,6 +740,14 @@ def upload_counts(counts: np.ndarray) -> tuple[jax.Array, int]:
     return jnp.asarray(padded), n
 
 
+# Above this capacity, chunk iterations run as single-iteration programs
+# WITHOUT the lax.scan wrapper: the scan double-buffers the [S, M] f32
+# carry, and at full-HBM capacity (2^25 × 20 on a 15.75 GB v5e) the
+# scanned chunk ResourceExhausts where the identical unscanned iteration
+# fits. One extra dispatch round trip per iteration at those capacities —
+# sessions leave them within a few iterations as the anneal collapses.
+BIG_SCAN_CAP = 1 << 24
+
 # Iterations fused into the head program (full capacity). ONE: the deep
 # init pass collapses duplicate-profile rows ~8x on real workloads, so
 # every iteration after the first can run at a fraction of the capacity —
@@ -765,18 +796,31 @@ def _drive_session(values_t, sizes, slots, parent, na, it, thr, base_rng,
     while it < total:
         # slice on the alive-POSITION bound, not the alive count: chunk
         # programs skip the compaction sort, so alive slots sit below the
-        # last sort's alive count with holes (see _iterate_update)
+        # last sort's alive count with holes (see _iterate_update) — but
+        # when the alive COUNT fits a strictly smaller capacity, pay one
+        # compaction sort to claim it (halving every later sort/scan)
         new_cap = min(cap, _pad_capacity(max(bound, 1)))
-        if new_cap < cap:
+        cap_na = min(cap, _pad_capacity(max(na, 1)))
+        if cap_na < new_cap:
+            values_t, sizes, slots = _compact_slice_state(
+                values_t, sizes, slots, cap_na, PERMUTE)
+            cap = cap_na
+            bound = na
+        elif new_cap < cap:
             values_t, sizes, slots = _slice_state(
                 values_t, sizes, slots, new_cap)
             cap = new_cap
-        if cap <= SMALL_CAP:
+        if cap > BIG_SCAN_CAP:
+            c = 1          # un-scanned single-iteration program (see
+            c_prog = 1     # _iterate_update: scan carries OOM at full HBM)
+        elif cap <= SMALL_CAP:
             c = total - it                    # run everything that remains
+            c_prog = max(MID_CHUNK,
+                         1 << max(0, math.ceil(math.log2(max(c, 1)))))
         else:
             c = min(MID_CHUNK, total - it)
-        c_prog = max(MID_CHUNK,
-                     1 << max(0, math.ceil(math.log2(max(c, 1)))))
+            c_prog = max(MID_CHUNK,
+                         1 << max(0, math.ceil(math.log2(max(c, 1)))))
         tpad = np.full(c_prog, 9.0, np.float32)
         tpad[:c] = thr[it:it + c]
         t0 = time.perf_counter()
@@ -801,8 +845,13 @@ def _drive_session(values_t, sizes, slots, parent, na, it, thr, base_rng,
     # (~9 ns/elem on v5e, tools/iter_profile.py), so no slack is added.
     rpi = 1 if merge == "chain" else max(rounds, 1)
     jumps = max(3, math.ceil(math.log2(total * rpi + 2)))
-    fc = min(cap, _pad_capacity(max(bound, 1)))
-    if fc < cap:
+    fc = min(cap, _pad_capacity(max(na, 1)))
+    if fc < min(cap, _pad_capacity(max(bound, 1))):
+        # the alive count fits a smaller width than the position bound:
+        # one compaction sort halves the finalize (and its pull)
+        values_t, sizes, slots = _compact_slice_state(
+            values_t, sizes, slots, fc, PERMUTE)
+    elif fc < cap:
         # slice in a separate program so the over-capacity state frees
         # BEFORE the finalize allocates: a single-deep-pass batch session
         # otherwise enters finalize with the full-capacity f32 state alive
