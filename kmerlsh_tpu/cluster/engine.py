@@ -585,13 +585,19 @@ def _head_program(counts, v_kmers, base_rng, thresholds,
                            permute=permute)
 
 
-@partial(jax.jit, static_argnames=("rounds", "merge", "permute"))
+@partial(jax.jit, static_argnames=("rounds", "merge", "permute"),
+         donate_argnums=(0, 1, 2, 3))
 def _chunk_program(values_t, sizes, slots, parent, base_rng, thresholds,
                    iter_offset, rounds: int, merge: str,
                    permute: str = "payload_sort"):
     """Session middle: a chunk of iterations at the (possibly shrunken)
     current capacity; the parent forest stays at original capacity. No
-    compaction sort — the host slices on the returned position bound."""
+    compaction sort — the host slices on the returned position bound.
+
+    The state arguments are DONATED: XLA aliases the input buffers to the
+    outputs, halving the resident state (2.7 GB f32 values at a 2^25 × 20
+    capacity would otherwise exist twice and the program ResourceExhausts
+    on v5e). Callers must rebind — _drive_session does."""
     return _iterate_update(values_t, sizes, slots, parent, base_rng,
                            thresholds, iter_offset, rounds, merge,
                            deep_init=False, compact=False, permute=permute)
