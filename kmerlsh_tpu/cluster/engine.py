@@ -448,12 +448,6 @@ def _one_iteration(values_t, sizes, rng, threshold, rounds, merged_into,
                          merged_into, h=h, cur_slot=cur_slot, unsort=False)
 
 
-@jax.jit
-def _compact_order(sizes):
-    """Stable permutation placing alive slots first."""
-    return jnp.argsort(sizes == 0, stable=True).astype(jnp.int32)
-
-
 def compact_sort(values_t, sizes, slots, permute: str = "payload_sort"):
     """Alive-first stable compaction, using the ``permute`` strategy for
     the [S, M] value movement (see :data:`PERMUTE`)."""
